@@ -1,0 +1,213 @@
+"""Episode repositories: replay storage as directories of compressed npz chunks.
+
+Counterpart of the reference's episode repository (reference:
+pydreamer/data.py:26-125). The data contract is preserved exactly:
+
+  * each file holds ~1000 steps of concatenated episodes as an npz dict of
+    per-step arrays (action, reward, terminal, reset, image/vecobs, ...)
+  * the filename encodes metadata so step accounting never needs a download:
+    ``ep{from:06}_{to:06}-r{reward:.0f}-{steps:04}.npz`` (data.py:98-102)
+    (optional chunk form ``ep{from}_{to}-{chunk}-r{reward}-{steps}.npz``)
+  * repositories are append-only with unique filenames — the concurrency
+    model that lets N actor processes and a learner share one store with no
+    locking (SURVEY §5.2)
+
+Backends:
+  * ``NpzEpisodeRepository`` — local/NFS directory (the default; on cloud TPU
+    VMs a GCS-fuse mount works transparently)
+  * ``MlflowEpisodeRepository`` — optional, only if mlflow is importable
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..tools import logger
+
+__all__ = ["FileInfo", "EpisodeRepository", "NpzEpisodeRepository",
+           "MlflowEpisodeRepository", "make_repository",
+           "build_episode_name", "parse_episode_name"]
+
+
+def build_episode_name(episode_from: int, episode_to: int, reward: float,
+                       steps: int, chunk_seq: Optional[int] = None) -> str:
+    if chunk_seq is None:
+        return f"ep{episode_from:06}_{episode_to:06}-r{reward:.0f}-{steps:04}.npz"
+    return f"ep{episode_from:06}_{episode_to:06}-{chunk_seq}-r{reward:.0f}-{steps:04}.npz"
+
+
+def parse_episode_name(fname: str) -> Tuple[int, int, int]:
+    """-> (episode_from, episode_to, steps); tolerant of foreign names."""
+    stem = fname.split("/")[-1].split(".")[0]
+    if stem.startswith("ep"):
+        steps_s = stem.split("-")[-1]
+        steps = int(steps_s) if steps_s.isnumeric() else 0
+        ep_range = stem[2:].split("-")[0]
+        ep_from_s = ep_range.split("_")[0]
+        ep_to_s = ep_range.split("_")[-1]
+        return (int(ep_from_s) if ep_from_s.isnumeric() else 0,
+                int(ep_to_s) if ep_to_s.isnumeric() else 0,
+                steps)
+    steps_s = stem.split("-")[-1]
+    return (0, 0, int(steps_s) if steps_s.isnumeric() else 0)
+
+
+@dataclass
+class FileInfo:
+    """Descriptor for one episode-chunk file."""
+
+    path: str
+    episode_from: int
+    episode_to: int
+    steps: int
+    loader: Callable[[str], Dict[str, np.ndarray]] = field(repr=False, compare=False, default=None)  # type: ignore
+
+    def load_data(self) -> Dict[str, np.ndarray]:
+        return self.loader(self.path)
+
+    def __repr__(self):
+        return self.path
+
+
+class EpisodeRepository(ABC):
+
+    @abstractmethod
+    def save_data(self, data: Dict[str, np.ndarray], episode_from: int,
+                  episode_to: int, chunk_seq: Optional[int] = None):
+        ...
+
+    @abstractmethod
+    def list_files(self) -> List[FileInfo]:
+        ...
+
+    def count_steps(self) -> Tuple[int, int, int]:
+        """-> (n_files, n_steps, n_episodes) from filenames alone."""
+        files = self.list_files()
+        steps = sum(f.steps for f in files)
+        episodes = (max(f.episode_to for f in files) + 1) if files else 0
+        return len(files), steps, episodes
+
+
+class NpzEpisodeRepository(EpisodeRepository):
+    """Directory(-ies) of npz chunks. First dir is the write target."""
+
+    def __init__(self, dirs: Union[str, Path, List[Union[str, Path]]]):
+        if isinstance(dirs, (str, Path)):
+            dirs = [dirs]
+        self.dirs = [Path(d) for d in dirs]
+        self.write_dir = self.dirs[0]
+
+    def save_data(self, data: Dict[str, np.ndarray], episode_from: int,
+                  episode_to: int, chunk_seq: Optional[int] = None):
+        n_episodes = int(data["reset"].sum())
+        n_steps = len(data["reset"]) - n_episodes
+        reward = float(data["reward"].sum())
+        fname = build_episode_name(episode_from, episode_to, reward, n_steps, chunk_seq)
+        self.write_dir.mkdir(parents=True, exist_ok=True)
+        # Write-then-rename so concurrent readers never see partial files.
+        fd, tmp = tempfile.mkstemp(dir=self.write_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez_compressed(f, **data)
+            os.replace(tmp, self.write_dir / fname)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        logger.debug("Saved episode data: %s (%d steps)", fname, n_steps)
+
+    def _load(self, path: str) -> Dict[str, np.ndarray]:
+        with np.load(path) as npz:
+            return {k: npz[k] for k in npz.files}
+
+    def list_files(self) -> List[FileInfo]:
+        # Retry-forever matches the reference's storage resilience
+        # (data.py:70-76); transient FS/network errors must not kill training.
+        while True:
+            try:
+                return self._list_files()
+            except Exception:
+                logger.exception("Error listing files - will retry.")
+                time.sleep(10)
+
+    def _list_files(self) -> List[FileInfo]:
+        files = []
+        for d in self.dirs:
+            if not d.exists():
+                continue
+            for p in d.iterdir():
+                if p.suffix == ".npz":
+                    ep_from, ep_to, steps = parse_episode_name(p.name)
+                    files.append(FileInfo(str(p), ep_from, ep_to, steps, self._load))
+        return files
+
+    def __repr__(self):
+        return f"NpzEpisodeRepository({[str(d) for d in self.dirs]})"
+
+
+class MlflowEpisodeRepository(EpisodeRepository):
+    """MLflow artifact-store backend (optional; requires mlflow installed)."""
+
+    def __init__(self, artifact_uris: Union[str, List[str]]):
+        from mlflow.store.artifact.artifact_repository_registry import \
+            get_artifact_repository  # deferred; mlflow optional
+        uris = [artifact_uris] if isinstance(artifact_uris, str) else artifact_uris
+        self.artifact_uris = uris
+        self.read_repos = [get_artifact_repository(uri) for uri in uris]
+        self.write_repo = self.read_repos[0]
+
+    def save_data(self, data, episode_from, episode_to, chunk_seq=None):
+        n_episodes = int(data["reset"].sum())
+        n_steps = len(data["reset"]) - n_episodes
+        reward = float(data["reward"].sum())
+        fname = build_episode_name(episode_from, episode_to, reward, n_steps, chunk_seq)
+        with tempfile.TemporaryDirectory() as tmp:
+            path = Path(tmp) / fname
+            np.savez_compressed(path, **data)
+            self.write_repo.log_artifact(str(path))
+
+    def _make_loader(self, repo):
+        def load(path: str) -> Dict[str, np.ndarray]:
+            with tempfile.TemporaryDirectory() as tmp:
+                local = repo.download_artifacts(path, tmp)
+                with np.load(local) as npz:
+                    return {k: npz[k] for k in npz.files}
+        return load
+
+    def list_files(self) -> List[FileInfo]:
+        while True:
+            try:
+                return self._list_files()
+            except Exception:
+                logger.exception("Error listing artifacts - will retry.")
+                time.sleep(10)
+
+    def _list_files(self) -> List[FileInfo]:
+        files = []
+        for repo in self.read_repos:
+            for f in repo.list_artifacts(""):
+                if f.path.endswith(".npz") and not f.is_dir:
+                    ep_from, ep_to, steps = parse_episode_name(f.path)
+                    files.append(FileInfo(f.path, ep_from, ep_to, steps,
+                                          self._make_loader(repo)))
+        return files
+
+    def __repr__(self):
+        return f"MlflowEpisodeRepository({self.artifact_uris})"
+
+
+def make_repository(uris: Union[str, List[str]]) -> EpisodeRepository:
+    """Factory: mlflow:// / runs:/ URIs -> mlflow backend, else local dirs."""
+    if isinstance(uris, (str, Path)):
+        uris = [uris]
+    if any(str(u).startswith(("mlflow", "runs:", "s3:", "gs:", "wasbs:")) for u in uris):
+        return MlflowEpisodeRepository([str(u) for u in uris])
+    return NpzEpisodeRepository(list(uris))

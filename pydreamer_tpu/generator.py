@@ -1,0 +1,300 @@
+"""Actor runtime: episode collection workers.
+
+Counterpart of the reference generator (reference: generator.py:27-331):
+  * roll a policy in an env; prefill policy switches to the network policy
+    at ``num_steps_prefill`` (generator.py:98-101)
+  * the network policy polls the learner's checkpoint every
+    ``model_reload_interval`` seconds — the checkpoint IS the policy
+    distribution channel (generator.py:105-117)
+  * ``limit_step_ratio`` rate-limits data collection vs learner progress
+    (generator.py:118-121)
+  * per-episode agent metrics incl. discounted return, logged against
+    model_step so actor curves align with learner curves (generator.py:167-216)
+  * episodes are accumulated to >= ``steps_per_npz`` steps, chunked, and
+    saved to the train or eval repository with ``split_fraction`` probability
+    (generator.py:218-257)
+
+TPU note: single-step inference is jitted once (shapes are static: T=1, B=1)
+and runs on whatever device the generator process sees — CPU by default
+(JAX_PLATFORMS=cpu is set by the launcher for generator subprocesses so they
+never contend for the TPU with the learner).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .data import make_repository
+from .data.preprocessing import Preprocessor
+from .tools import (LogColorFormatter, Timer, configure_logging, discount,
+                    logger, print_once)
+from .tracking import init_run, load_checkpoint_file
+
+__all__ = ["main", "create_policy", "RandomPolicy", "NetworkPolicy",
+           "chunk_episode_data"]
+
+
+def main(env_id: str = "Grid-8",
+         save_uri: Optional[str] = None,
+         save_uri2: Optional[str] = None,
+         worker_id: int = 0,
+         policy_main: str = "random",
+         policy_prefill: str = "random",
+         num_steps: int = int(1e6),
+         num_steps_prefill: int = 0,
+         env_no_terminal: bool = False,
+         env_time_limit: int = 0,
+         env_action_repeat: int = 1,
+         limit_step_ratio: float = 0.0,
+         steps_per_npz: int = 1000,
+         model_reload_interval: float = 120,
+         model_conf=None,
+         log_metrics: bool = True,
+         split_fraction: float = 0.0,
+         metrics_prefix: str = "agent",
+         metrics_gamma: float = 0.99,
+         log_every: int = 10):
+
+    configure_logging(prefix=f"[GEN {worker_id}]", color=LogColorFormatter.GREEN)
+    run_ = init_run()
+    logger.info("Generator %d started: env=%s, n_steps=%s, n_prefill=%s, "
+                "split_fraction=%s, save_uri=%s",
+                worker_id, env_id, f"{num_steps:,}", f"{num_steps_prefill:,}",
+                split_fraction, save_uri)
+
+    if not save_uri:
+        save_uri = str(run_.artifact_dir(f"episodes/{worker_id}"))
+    if not save_uri2:
+        assert split_fraction == 0.0, "Specify two save destinations, if splitting"
+
+    repository = make_repository(save_uri)
+    repository2 = make_repository(save_uri2) if save_uri2 else repository
+    nfiles, steps_saved, episodes = repository.count_steps()
+    logger.info("Found existing %d files, %d episodes, %d steps in %r",
+                nfiles, episodes, steps_saved, repository)
+
+    from .envs import create_env
+    env = create_env(env_id, env_no_terminal, env_time_limit,
+                     env_action_repeat, worker_id)
+
+    if num_steps_prefill:
+        logger.info("Prefill policy: %s", policy_prefill)
+        policy = create_policy(policy_prefill, env, model_conf)
+        is_prefill_policy = True
+    else:
+        logger.info("Policy: %s", policy_main)
+        policy = create_policy(policy_main, env, model_conf)
+        is_prefill_policy = False
+
+    datas = []
+    datas_episodes = 0
+    last_model_load = 0.0
+    model_step = 0
+    metrics_agg = defaultdict(list)
+    all_returns = []
+    steps = 0
+
+    while steps_saved < num_steps:
+        # Prefill -> main policy switch.
+        if is_prefill_policy and steps_saved >= num_steps_prefill:
+            logger.info("Switching to main policy: %s", policy_main)
+            policy = create_policy(policy_main, env, model_conf)
+            is_prefill_policy = False
+
+        # Reload network checkpoint (the policy channel).
+        if isinstance(policy, NetworkPolicy):
+            if time.time() - last_model_load > model_reload_interval:
+                while True:
+                    loaded = load_checkpoint_file(run_.checkpoint_path)
+                    if loaded is not None:
+                        state_dict, model_step = loaded
+                        policy.set_params(state_dict["params"])
+                        logger.info("Generator loaded model checkpoint %d", model_step)
+                        last_model_load = time.time()
+                        break
+                    logger.debug("Generator model checkpoint not found, waiting...")
+                    time.sleep(10)
+
+            if limit_step_ratio and steps_saved >= model_step * limit_step_ratio:
+                # Rate limit: wait for the learner to catch up.
+                time.sleep(1)
+                continue
+
+        # Unroll one episode.
+        epsteps = 0
+        timer = time.time()
+        obs = env.reset()
+        done = False
+        metrics = defaultdict(list)
+        while not done:
+            action, mets = policy(obs)
+            obs, reward, done, inf = env.step(action)
+            steps += 1
+            epsteps += 1
+            for k, v in mets.items():
+                metrics[k].append(v)
+
+        episodes += 1
+        data = inf["episode"]
+        if "policy_value" in metrics:
+            data["policy_value"] = np.array(metrics["policy_value"] + [np.nan])
+            data["policy_entropy"] = np.array(metrics["policy_entropy"] + [np.nan])
+            data["action_prob"] = np.array([np.nan] + metrics["action_prob"])
+        else:
+            # Placeholders so all batches share the same key set.
+            for k in ("policy_value", "policy_entropy", "action_prob"):
+                data[k] = np.full(data["reward"].shape, np.nan)
+
+        fps = epsteps / (time.time() - timer + 1e-6)
+        print_once("Episode data sample:", {k: v.shape for k, v in data.items()})
+        logger.info("Episode recorded:  steps: %d,  reward: %.1f,  terminal: %.0f,"
+                    "  total steps: %d,  episodes: %d,  saved steps (train): %d,"
+                    "  fps: %.0f",
+                    epsteps, data["reward"].sum(), data["terminal"].sum(),
+                    steps, episodes, steps_saved, fps)
+
+        if log_metrics:
+            mets = {f"{metrics_prefix}/{k}": float(np.mean(v)) for k, v in metrics.items()}
+            all_returns.append(float(data["reward"].sum()))
+            mets.update({
+                f"{metrics_prefix}/episode_length": epsteps,
+                f"{metrics_prefix}/fps": fps,
+                f"{metrics_prefix}/steps": steps,
+                f"{metrics_prefix}/steps_saved": steps_saved,
+                f"{metrics_prefix}/env_steps": steps * env_action_repeat,
+                f"{metrics_prefix}/episodes": episodes,
+                f"{metrics_prefix}/return": all_returns[-1],
+                f"{metrics_prefix}/return_cum": float(np.mean(all_returns[-100:])),
+            })
+
+            # Discounted return with bootstrapped tail on truncation
+            # (generator.py:181-188).
+            rewards_v = data["reward"].astype(np.float64).copy()
+            if not data["terminal"][-1]:
+                rewards_v[-1] += rewards_v.mean() / (1.0 - metrics_gamma)
+            mets[f"{metrics_prefix}/return_discounted"] = float(
+                discount(rewards_v, gamma=metrics_gamma).mean())
+
+            if data["terminal"][-1] and not np.isnan(data["policy_value"][-2]):
+                # Should be ~0: value[last] should equal reward[last].
+                mets[f"{metrics_prefix}/policy_value_terminal"] = float(
+                    data["policy_value"][-2] - data["reward"][-1])
+
+            if "goals_visage" in data:
+                seen = data["goals_visage"] < 1e5
+                mets[f"{metrics_prefix}/goals_seen_avg"] = float(seen.sum(-1).mean())
+                mets[f"{metrics_prefix}/goals_seen_last"] = float(seen[-1].sum())
+                mets[f"{metrics_prefix}/goals_seenage"] = float(
+                    (data["goals_visage"] * seen).sum() / max(seen.sum(), 1))
+
+            for k, v in mets.items():
+                if not np.isnan(v):
+                    metrics_agg[k].append(v)
+            if len(metrics_agg.get(f"{metrics_prefix}/return", [])) >= log_every:
+                agg_max = {k: float(np.max(v)) for k, v in metrics_agg.items()}
+                agg = {k: float(np.mean(v)) for k, v in metrics_agg.items()}
+                agg[f"{metrics_prefix}/return_max"] = agg_max[f"{metrics_prefix}/return"]
+                run_.log_metrics(agg, step=model_step)
+                metrics_agg = defaultdict(list)
+
+        # Accumulate and save npz chunks.
+        datas.append(data)
+        datas_episodes = len(datas)
+        datas_steps = sum(len(d["reset"]) - 1 for d in datas)
+        if datas_steps >= steps_per_npz:
+            data = {k: np.concatenate([b[k] for b in datas], axis=0) for k in datas[0]}
+            datas = []
+            print_once("Collected data sample:", {k: v.shape for k, v in data.items()})
+
+            if datas_steps >= 2 * steps_per_npz:
+                chunks = chunk_episode_data(data, steps_per_npz)
+            else:
+                chunks = [data]
+
+            repo = repository if (np.random.rand() > split_fraction) else repository2
+            for i, chunk in enumerate(chunks):
+                if "image" in chunk and chunk["image"].ndim == 4:
+                    # THWC => HWCT transposes like-colored planes together
+                    # for much better zlib compression (generator.py:246-249).
+                    chunk["image_t"] = chunk["image"].transpose(1, 2, 3, 0)
+                    del chunk["image"]
+                repo.save_data(chunk, episodes - datas_episodes, episodes - 1, i)
+            if repo is repository:
+                # Only train-repo steps count for prefill / rate limiting.
+                steps_saved += datas_steps
+
+    logger.info("Generator done.")
+
+
+def chunk_episode_data(data: Dict[str, np.ndarray], min_steps: int):
+    """Split concatenated episodes into chunks of [min_steps, 2*min_steps)."""
+    n = len(data["reset"])
+    chunks = []
+    i = 0
+    while i < n:
+        j = min(i + min_steps, n)
+        if n - j < min_steps:
+            j = n
+        chunks.append({k: v[i:j] for k, v in data.items()})
+        i = j
+    return chunks
+
+
+def create_policy(policy_type: str, env, model_conf):
+    """(reference: generator.py:262-300.)"""
+    if policy_type == "network":
+        conf = model_conf
+        from .models.dreamer import Dreamer
+        assert conf.model == "dreamer", conf.model
+        model = Dreamer(conf)
+        preprocess = Preprocessor.from_conf(conf)
+        return NetworkPolicy(model, preprocess)
+
+    if policy_type == "random":
+        return RandomPolicy(env.action_space)
+
+    if policy_type == "minigrid_wander":
+        from .envs.minigrid import MinigridWanderPolicy
+        return MinigridWanderPolicy()
+
+    raise ValueError(policy_type)
+
+
+class RandomPolicy:
+    def __init__(self, action_space):
+        self.action_space = action_space
+
+    def __call__(self, obs) -> Tuple[np.ndarray, dict]:
+        return self.action_space.sample(), {}
+
+
+class NetworkPolicy:
+    """Jitted single-step Dreamer inference with TBTT state carry."""
+
+    def __init__(self, model, preprocess: Preprocessor):
+        import jax
+        self.model = model
+        self.preprocess = preprocess
+        self.params = None
+        self.state = model.init_state(1)
+        self.rng = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+        self._infer = jax.jit(model.inference)
+
+    def set_params(self, params):
+        self.params = params
+
+    def __call__(self, obs) -> Tuple[np.ndarray, dict]:
+        import jax
+        assert self.params is not None, "NetworkPolicy used before checkpoint load"
+        batch = self.preprocess.apply(obs, expandTB=True)
+        self.rng, key = jax.random.split(self.rng)
+        action, new_state, metrics = self._infer(self.params, batch, self.state, key)
+        self.state = new_state
+        mets = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        action = np.asarray(action).squeeze()  # (1,1,A) => (A,)
+        return action, mets

@@ -1,0 +1,132 @@
+"""Logging, timing, and small host-side utilities.
+
+Counterpart of the reference's tools (reference: pydreamer/tools.py:226-335):
+colored per-process log prefixes, ``print_once`` dedup, ``Timer`` phase
+timings, ``discount`` via lfilter, and a null profiler object.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = ["logger", "configure_logging", "print_once", "Timer", "timers_summary",
+           "discount", "NoProfiler", "LogColorFormatter"]
+
+logger = logging.getLogger("pydreamer_tpu")
+
+_printed_once = set()
+
+
+def print_once(msg: str, *args):
+    if msg not in _printed_once:
+        _printed_once.add(msg)
+        logger.info("%s %s", msg, " ".join(str(a) for a in args))
+
+
+class LogColorFormatter(logging.Formatter):
+    """ANSI-colored [PREFIX] formatter (reference: tools.py:281-320)."""
+
+    GREY = "\033[90m"
+    GREEN = "\033[32m"
+    YELLOW = "\033[33m"
+    RED = "\033[31m"
+    BOLD_RED = "\033[31;1m"
+    RESET = "\033[0m"
+
+    def __init__(self, prefix: str, color: Optional[str] = None):
+        super().__init__()
+        self.prefix = prefix
+        self.color = color or ""
+
+    def format(self, record: logging.LogRecord) -> str:
+        if record.levelno >= logging.ERROR:
+            color = self.BOLD_RED
+        elif record.levelno >= logging.WARNING:
+            color = self.YELLOW
+        else:
+            color = self.color
+        ts = time.strftime("%H:%M:%S", time.localtime(record.created))
+        msg = record.getMessage()
+        if record.exc_info:
+            msg += "\n" + self.formatException(record.exc_info)
+        return f"{color}{ts} {self.prefix}{self.RESET}  {msg}"
+
+
+def configure_logging(prefix: str = "[MAIN]", color: Optional[str] = None,
+                      level: int = logging.INFO):
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(LogColorFormatter(prefix, color))
+    root = logging.getLogger()
+    root.handlers = [handler]
+    root.setLevel(level)
+    # Quiet noisy third-party loggers (reference: tools.py:329-335).
+    for name in ("urllib3", "requests", "PIL", "absl", "jax._src.xla_bridge",
+                 "jax._src.dispatch", "orbax"):
+        logging.getLogger(name).setLevel(logging.WARNING)
+
+
+class Timer:
+    """Context timer accumulating total seconds per name (reference: tools.py:231-255)."""
+
+    registry: Dict[str, "Timer"] = {}
+
+    def __init__(self, name: str = "timer", verbose: bool = False):
+        self.name = name
+        self.verbose = verbose
+        self.start_time: Optional[float] = None
+        self.times = []
+        Timer.registry[name] = self
+
+    def __enter__(self):
+        self.start_time = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.time() - self.start_time  # type: ignore
+        self.times.append(dt)
+        if self.verbose:
+            logger.debug("%s: %.1f ms", self.name, dt * 1000)
+        return False
+
+    @property
+    def dt_mean(self) -> float:
+        return float(np.mean(self.times)) if self.times else 0.0
+
+    def reset(self):
+        self.times = []
+
+
+def timers_summary(reset: bool = True) -> Dict[str, float]:
+    """Mean seconds per named timer, as ``timer_*`` metrics."""
+    out = {}
+    for name, t in Timer.registry.items():
+        if t.times:
+            out[f"timer_{name}"] = t.dt_mean
+            if reset:
+                t.reset()
+    return out
+
+
+def discount(x: np.ndarray, gamma: float) -> np.ndarray:
+    """Discounted cumulative sums along axis 0 (reference: tools.py:226-228)."""
+    import scipy.signal
+    return scipy.signal.lfilter([1.0], [1.0, -gamma], x[::-1], axis=0)[::-1]
+
+
+class NoProfiler:
+    """Null profiler (reference: tools.py:258-266)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def step(self):
+        pass

@@ -1,0 +1,413 @@
+"""Learner runtime: the infinite gradient-step loop.
+
+Counterpart of the reference learner (reference: train.py:24-303):
+prefill-wait, per-worker TBTT state carry, fused train step, metric
+aggregation with mean+max windows, periodic npz batch dumps, periodic
+checkpoint save (the policy-distribution channel), periodic eval, stop at
+n_steps / n_env_steps.
+
+TPU-specific design:
+  * the gradient step is ONE jitted call (training/train_step.py); the host
+    loop only feeds batches and drains metrics
+  * metrics come back as device scalars; they are fetched asynchronously
+    (jax.device_get on the previous step's metrics while the current step
+    runs) so the host never blocks the device
+  * input pipeline: thread workers + device prefetch (data/prefetch.py)
+    replace DataLoader workers + pin_memory
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..conf import Conf
+from ..data import (NpzEpisodeRepository, ParallelLoader, Preprocessor,
+                    SequentialDataset, make_repository, prefetch_iterator)
+from ..models.baselines import WorldModelProbe
+from ..models.dreamer import Dreamer
+from ..tools import Timer, configure_logging, logger, print_once, timers_summary
+from ..tracking import Run, init_run
+from .train_step import TrainStep
+
+__all__ = ["run", "evaluate", "prepare_batch_npz", "make_model", "to_list"]
+
+
+def to_list(s):
+    return s if isinstance(s, list) else [s]
+
+
+def make_model(conf):
+    """Model factory (reference: train.py:104-107)."""
+    if conf.model == "dreamer":
+        return Dreamer(conf)
+    return WorldModelProbe(conf)
+
+
+def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = None):
+    """Train until n_steps / n_env_steps (reference: train.py:24)."""
+    configure_logging(prefix="[TRAIN]")
+    if conf.get("platform"):
+        # debug preset runs the learner on host CPU (reference `device: cpu`)
+        jax.config.update("jax_platforms", str(conf.platform))
+    run_ = init_run(run_dir=run_dir)
+    artifact_dir = run_.dir
+
+    # Data directories (reference: train.py:34-60).
+    if conf.offline_data_dir:
+        online_data = False
+        input_dirs = to_list(conf.offline_data_dir)
+    else:
+        online_data = True
+        input_dirs = [
+            str(artifact_dir / "episodes" / str(i))
+            for i in range(max(conf.generator_workers_train, conf.generator_workers))
+        ]
+    if conf.offline_prefill_dir:
+        input_dirs.extend(to_list(conf.offline_prefill_dir))
+    if conf.offline_eval_dir:
+        eval_dirs = to_list(conf.offline_eval_dir)
+    else:
+        eval_dirs = [
+            str(artifact_dir / "episodes_eval" / str(i))
+            for i in range(max(conf.generator_workers_eval, conf.generator_workers))
+        ]
+    test_dirs = to_list(conf.offline_test_dir) if conf.offline_test_dir else eval_dirs
+
+    # Wait for prefill (reference: train.py:62-82).
+    if online_data:
+        while True:
+            repo = make_repository(input_dirs)
+            _, steps_now, _ = repo.count_steps()
+            run_.log_metrics({"train/data_steps": steps_now,
+                              "train/data_env_steps": steps_now * conf.env_action_repeat},
+                             step=0)
+            if steps_now < conf.generator_prefill_steps:
+                logger.debug("Waiting for prefill: %d/%d steps...",
+                             steps_now, conf.generator_prefill_steps)
+                time.sleep(10)
+            else:
+                logger.info("Done prefilling: %d/%d steps.",
+                            steps_now, conf.generator_prefill_steps)
+                break
+        if steps_now * conf.env_action_repeat >= conf.n_env_steps:
+            logger.info("Finished %d env steps.", conf.n_env_steps)
+            return
+
+    preprocess = Preprocessor.from_conf(conf)
+
+    # Model + optimizer.
+    model = make_model(conf)
+    # One jitted init = one XLA compile instead of hundreds of eager ops
+    # (matters on TPU images where compiles go through a remote service).
+    params = jax.jit(model.init)(jax.random.PRNGKey(conf.get("seed", 0)))
+    trainstep = TrainStep(model, conf)
+    opt_state = trainstep.init_optimizer(params)
+    run_.log_text(_describe_params(params), "architecture.txt")
+
+    # Resume (reference: train.py:114-116).
+    steps = 0
+    ckpt = run_.load_checkpoint(target={"params": params, "opt_state": opt_state})
+    if ckpt is not None:
+        state_dict, steps = ckpt
+        params, opt_state = state_dict["params"], state_dict["opt_state"]
+        logger.info("Loaded model from checkpoint epoch %d", steps)
+
+    # Input pipeline: N worker threads, each an independent TBTT stream.
+    def make_stream(worker_id: int):
+        data = SequentialDataset(
+            make_repository(input_dirs), conf.batch_length, conf.batch_size,
+            skip_first=True,
+            reload_interval=120 if online_data else 0,
+            buffer_size=conf.buffer_size if online_data else conf.buffer_size_offline,
+            reset_interval=conf.reset_interval,
+            allow_mid_reset=conf.allow_mid_reset,
+            seed=conf.get("seed", 0) * 1000 + worker_id)
+        return preprocess(iter(data))
+
+    loader = ParallelLoader(make_stream, num_workers=conf.data_workers)
+    data_iter = prefetch_iterator(iter(loader), size=2)
+
+    states: Dict[int, object] = {}  # TBTT state per data worker (train.py:168-178)
+    rng = jax.random.PRNGKey(conf.get("seed", 0) + 1)
+    metrics_agg = defaultdict(list)
+    metrics_max = defaultdict(list)
+    last_time = time.time()
+    last_steps = steps
+    prev_metrics = None  # async metric fetch: drain step i-1 while i runs
+
+    n_steps = min(conf.n_steps, max_steps) if max_steps else conf.n_steps
+    # Profiler window: trace steps [11, 13] after warmup (reference schedule
+    # wait=10/warmup=10/active=1, train.py:468-476; XLA traces are heavier so
+    # one short window is enough).
+    profile_window = (11, 13) if conf.get("enable_profiler", False) else None
+
+    while True:
+        if profile_window and steps + 1 == profile_window[0]:
+            jax.profiler.start_trace(str(artifact_dir / "profiling"))
+        if profile_window and steps + 1 == profile_window[1]:
+            jax.profiler.stop_trace()
+            logger.info("Saved profiler trace to %s", artifact_dir / "profiling")
+            profile_window = None
+        with Timer("total"):
+            steps += 1
+            will_log_batch = steps % conf.logbatch_interval == 1
+            will_image_pred = (
+                will_log_batch or
+                steps % conf.log_interval >= int(conf.log_interval * 0.9))
+
+            with Timer("data"):
+                batch, wid = next(data_iter)
+
+            with Timer("step"):
+                state = states.get(wid)
+                if state is None:
+                    state = model.init_state(conf.batch_size * conf.iwae_samples)
+                rng, key = jax.random.split(rng)
+                params, opt_state, new_state, metrics, tensors, dream_tensors = \
+                    trainstep(params, opt_state, batch, state, steps, key,
+                              do_image_pred=will_image_pred,
+                              do_dream_tensors=will_log_batch)
+                if conf.keep_state:
+                    states[wid] = new_state
+
+            with Timer("other"):
+                # Drain last step's metrics (device->host) — one step behind,
+                # so the fetch overlaps this step's device work.
+                if prev_metrics is not None:
+                    _aggregate_metrics(prev_metrics, metrics_agg, metrics_max)
+                data_metrics = {
+                    "data_reward": float(np.mean(np.asarray(batch["reward"]))),
+                    "data_reset": float(np.mean(np.asarray(batch["reset"]))),
+                    "data_terminal": float(np.mean(np.asarray(batch["terminal"]))),
+                }
+                metrics_max["data_reward"].append(float(np.max(np.asarray(batch["reward"]))))
+                for k, v in data_metrics.items():
+                    metrics_agg[k].append(v)
+                prev_metrics = metrics
+
+                if will_log_batch:
+                    log_batch_npz(run_, batch, tensors, f"{steps:07}.npz",
+                                  subdir="d2_wm_closed")
+                if dream_tensors:
+                    log_batch_npz(run_, batch, dream_tensors, f"{steps:07}.npz",
+                                  subdir="d2_wm_dream")
+
+                # Buffer size recount + env-step stop (train.py:225-231).
+                if online_data and steps % conf.logbatch_interval == 0:
+                    _, steps_now, _ = make_repository(input_dirs).count_steps()
+                    metrics_agg["data_steps"].append(steps_now)
+                    metrics_agg["data_env_steps"].append(steps_now * conf.env_action_repeat)
+                    if steps_now * conf.env_action_repeat >= conf.n_env_steps:
+                        logger.info("Finished %d env steps.", conf.n_env_steps)
+                        loader.close()
+                        return
+
+                if steps % conf.log_interval == 0:
+                    out = {f"train/{k}": float(np.mean(v)) for k, v in metrics_agg.items()}
+                    out.update({f"train/{k}_max": float(np.max(v))
+                                for k, v in metrics_max.items()})
+                    out["train/steps"] = steps
+                    t = time.time()
+                    out["train/fps"] = (steps - last_steps) / max(t - last_time, 1e-6)
+                    last_time, last_steps = t, steps
+                    out.update({f"train/{k}": v for k, v in timers_summary().items()})
+                    logger.info(
+                        "[%06d]  loss_model: %.3f  loss_critic: %.3f  "
+                        "policy_value: %.3f  policy_entropy: %.3f  fps: %.3f",
+                        steps, out.get("train/loss_model", 0),
+                        out.get("train/loss_critic", 0),
+                        out.get("train/policy_value", 0),
+                        out.get("train/policy_entropy", 0), out["train/fps"])
+                    if steps > conf.log_interval:  # first window skews the axes
+                        run_.log_metrics(out, step=steps)
+                    metrics_agg = defaultdict(list)
+                    metrics_max = defaultdict(list)
+
+                if steps % conf.save_interval == 0:
+                    run_.save_checkpoint({"params": params, "opt_state": opt_state}, steps)
+                    logger.info("Saved model checkpoint %d", steps)
+
+                if steps >= n_steps:
+                    logger.info("Finished %d grad steps.", n_steps)
+                    run_.save_checkpoint({"params": params, "opt_state": opt_state}, steps)
+                    loader.close()
+                    return
+
+            with Timer("eval"):
+                if conf.eval_interval and steps % conf.eval_interval == 0:
+                    try:
+                        # Test = train-like settings with state resets.
+                        data_test = SequentialDataset(
+                            make_repository(test_dirs), conf.batch_length,
+                            conf.test_batch_size, skip_first=False,
+                            reset_interval=conf.reset_interval)
+                        evaluate("test", steps, model, params,
+                                 preprocess(iter(data_test)), run_,
+                                 conf.test_batches, conf.iwae_samples,
+                                 conf.keep_state, conf.test_save_size, conf)
+                        # Eval = state kept, multisampling-capable.
+                        data_eval = SequentialDataset(
+                            make_repository(eval_dirs), conf.batch_length,
+                            conf.eval_batch_size, skip_first=False)
+                        evaluate("eval", steps, model, params,
+                                 preprocess(iter(data_eval)), run_,
+                                 conf.eval_batches, conf.eval_samples,
+                                 True, conf.eval_save_size, conf)
+                    except Exception as e:
+                        # Benign when no eval data has been generated yet.
+                        logger.warning("Evaluation failed: %r", e)
+
+
+def evaluate(prefix: str, steps: int, model, params,
+             data_iterator: Iterator, run_: Run,
+             eval_batches: int, eval_samples: int, keep_state: bool,
+             save_size: int, conf):
+    """Open/closed-loop eval protocol (reference: train.py:306-408)."""
+    start_time = time.time()
+    metrics_eval = defaultdict(list)
+    state = None
+    tensors = None
+    npz_datas = []
+    n_finished_episodes = np.zeros(1)
+    do_output_tensors = True
+    rng = jax.random.PRNGKey(steps)
+
+    eval_step = jax.jit(
+        lambda p, o, s, k, ol, ip: model.training_step(
+            p, o, s, k, iwae_samples=eval_samples,
+            do_open_loop=ol, do_image_pred=ip),
+        static_argnums=(4, 5))
+
+    for i_batch in range(eval_batches):
+        batch = next(data_iterator)
+        obs = {k: jnp.asarray(v) for k, v in batch.items()}
+        T, B = obs["action"].shape[:2]
+        if i_batch == 0:
+            logger.info("Evaluation (%s): batches: %d, size(T,B,I): (%d,%d,%d)",
+                        prefix, eval_batches, T, B, eval_samples)
+            n_finished_episodes = np.zeros(B)
+
+        reset_episodes = np.asarray(obs["reset"]).any(axis=0)  # (B,)
+        n_reset_episodes = int(reset_episodes.sum())
+        n_continued = int((~reset_episodes).sum())
+        if i_batch > 0:
+            n_finished_episodes += reset_episodes
+
+        # Last-batch probe logprob for episodes that just ended.
+        if n_reset_episodes > 0 and tensors is not None and "loss_map" in tensors:
+            lm = np.asarray(tensors["loss_map"]).mean(axis=0)
+            metrics_eval["logprob_map_last"].append(
+                float((lm * reset_episodes).sum() / reset_episodes.sum()))
+
+        # Open loop on continued episodes (train.py:351-372).
+        if n_continued > 0 and state is not None:
+            rng, key = jax.random.split(rng)
+            _, _, _, tensors_im, _ = eval_step(params, obs, state, key, True, True)
+            if np.random.rand() < 0.10:
+                r = float(np.asarray(obs["reward"]).sum())
+                log_batch_npz(run_, batch, tensors_im,
+                              f"{steps:07}_{i_batch}_r{r:.0f}.npz",
+                              subdir=f"d2_wm_open_{prefix}")
+            mask = (~reset_episodes).astype(np.float32)
+            mask = np.where(mask > 0, mask, np.nan)
+            for key_name, logprobs in tensors_im.items():
+                if key_name.startswith("logprob_"):
+                    lps = np.asarray(logprobs)[:5] * mask
+                    lp = np.nanmean(lps)
+                    if not np.isnan(lp):
+                        metrics_eval[f"{key_name}_open"].append(float(lp))
+
+        # Closed loop (train.py:374-389).
+        if state is None or not keep_state:
+            state = model.init_state(B * eval_samples)
+        rng, key = jax.random.split(rng)
+        _, state, loss_metrics, tensors, _ = eval_step(params, obs, state, key, False, True)
+        for k, v in loss_metrics.items():
+            v = float(np.asarray(v))
+            if not np.isnan(v):
+                metrics_eval[k].append(v)
+
+        if do_output_tensors:
+            npz_datas.append(prepare_batch_npz({**batch, **jax.device_get(tensors)},
+                                               take_b=save_size))
+        if n_finished_episodes[0] > 0:
+            do_output_tensors = False
+
+    out = {f"{prefix}/{k}": float(np.mean(v)) for k, v in metrics_eval.items()}
+    run_.log_metrics(out, step=steps)
+
+    if npz_datas:
+        npz_data = {k: np.concatenate([d[k] for d in npz_datas], 1) for k in npz_datas[0]}
+        print_once(f"Saving batch d2_wm_closed_{prefix}:",
+                   {k: tuple(v.shape) for k, v in npz_data.items()})
+        r = float(npz_data["reward"][0].sum())
+        run_.log_npz(npz_data, f"{steps:07}_r{r:.0f}.npz", subdir=f"d2_wm_closed_{prefix}")
+    logger.info("Evaluation (%s): done in %.0f sec, recorded %d episodes",
+                prefix, time.time() - start_time, int(n_finished_episodes.sum()))
+
+
+def _aggregate_metrics(metrics, metrics_agg, metrics_max):
+    host = jax.device_get(metrics)
+    for k, v in host.items():
+        v = float(np.asarray(v))
+        if not np.isnan(v):
+            metrics_agg[k].append(v)
+        if k.startswith("grad_norm") and np.isfinite(v):
+            metrics_max[k].append(v)
+
+
+def log_batch_npz(run_: Run, batch, tensors, filename: str, subdir: str):
+    data = {**batch, **jax.device_get(tensors)}
+    print_once(f"Saving batch {subdir} (input):",
+               {k: tuple(np.asarray(v).shape) for k, v in data.items()})
+    data = prepare_batch_npz(data)
+    run_.log_npz(data, filename, subdir=subdir)
+
+
+def prepare_batch_npz(data: Dict[str, np.ndarray], take_b: int = 999):
+    """Un-preprocess tensors for npz inspection (reference: train.py:423-465).
+
+    float images -> uint8, one-hot -> argmax, categorical logits -> softmax;
+    output is (B,T,...) batch-major.
+    """
+    import scipy.special
+
+    def unpreprocess(key: str, val) -> np.ndarray:
+        x = np.asarray(val)
+        if take_b < x.shape[1]:
+            x = x[:, :take_b]
+        if x.dtype in (np.float16, np.float64) or str(x.dtype) == "bfloat16":
+            x = x.astype(np.float32)
+
+        if x.ndim == 5:  # image (T,B,H,W,C)
+            assert x.dtype == np.float32 and (key.startswith("image") or key.startswith("map")), \
+                f"Unexpected 3D tensor: {key}: {x.shape}, {x.dtype}"
+            if x.shape[-1] in (1, 3):
+                x = ((x + 0.5) * 255.0).clip(0, 255).astype("uint8")
+            elif np.allclose(x.sum(axis=-1), 1.0) and np.allclose(x.max(axis=-1), 1.0):
+                x = x.argmax(axis=-1)
+            else:
+                x = scipy.special.softmax(x, axis=-1)
+        return x.swapaxes(0, 1)  # (T,B,*) => (B,T,*)
+
+    return {k: unpreprocess(k, v) for k, v in data.items()}
+
+
+def _describe_params(params) -> str:
+    lines = ["Model parameters:"]
+    total = 0
+    for key, sub in params.items():
+        n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(sub))
+        total += n
+        lines.append(f"  {key:<15}: {n:,} parameters")
+    lines.insert(1, f"  {'TOTAL':<15}: {total:,} parameters")
+    return "\n".join(lines)
+
+

@@ -1,0 +1,71 @@
+"""Config system tests: YAML union, typed overrides, immutability, hashing."""
+
+import pytest
+
+from pydreamer_tpu.conf import Conf, build_conf, parse_args, read_yamls
+
+CONFIG_DIR = "config"
+
+
+class TestYamlUnion:
+    def test_sections_load(self):
+        sections = read_yamls(CONFIG_DIR)
+        assert "defaults" in sections
+        assert "atari" in sections
+        assert "debug" in sections
+
+    def test_union_left_to_right(self):
+        d = build_conf(CONFIG_DIR, ["defaults"])
+        assert d["deter_dim"] == 2048
+        d = build_conf(CONFIG_DIR, ["defaults", "atari"])
+        assert d["deter_dim"] == 1024      # atari overrides
+        assert d["batch_length"] == 48     # defaults kept
+        d = build_conf(CONFIG_DIR, ["defaults", "atari", "debug"])
+        assert d["batch_length"] == 15     # debug overrides again
+
+    def test_unknown_section_raises(self):
+        with pytest.raises(KeyError):
+            build_conf(CONFIG_DIR, ["defaults", "nonexistent"])
+
+
+class TestCli:
+    def test_parse_with_overrides(self):
+        conf = parse_args(
+            ["--configs", "defaults", "atari",
+             "--batch_size", "7", "--layer_norm", "false",
+             "--adam_lr", "1e-5"],
+            config_dir=CONFIG_DIR)
+        assert conf.batch_size == 7
+        assert conf.layer_norm is False
+        assert conf.adam_lr == pytest.approx(1e-5)
+        assert conf.env_id == "Atari-Pong"
+
+    def test_every_key_becomes_flag(self):
+        conf = parse_args(["--configs", "defaults", "--n_steps", "123"],
+                          config_dir=CONFIG_DIR)
+        assert conf.n_steps == 123
+
+
+class TestConfObject:
+    def test_immutable(self):
+        c = Conf({"a": 1})
+        with pytest.raises(AttributeError):
+            c.a = 2
+
+    def test_hashable_and_replace(self):
+        c1 = Conf({"a": 1, "b": "x"})
+        c2 = Conf({"a": 1, "b": "x"})
+        assert hash(c1) == hash(c2) and c1 == c2
+        c3 = c1.replace(a=2)
+        assert c3.a == 2 and c1.a == 1
+
+    def test_pickle_roundtrip(self):
+        import pickle
+        c = Conf({"a": 1, "b": [1, 2]})
+        c2 = pickle.loads(pickle.dumps(c))
+        assert c2 == c
+
+    def test_get_and_contains(self):
+        c = Conf({"a": 1})
+        assert c.get("missing", 5) == 5
+        assert "a" in c and "z" not in c

@@ -1,0 +1,144 @@
+"""Model stack tests: init, shapes, losses, gradient routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.util import make_conf, make_batch
+
+from pydreamer_tpu.models.dreamer import Dreamer, WorldModel
+
+
+def _tree_to_jnp(obs):
+    return {k: jnp.asarray(v) for k, v in obs.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    conf = make_conf()
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    obs = _tree_to_jnp(make_batch(conf))
+    state = model.init_state(conf.batch_size * conf.iwae_samples)
+    return conf, model, params, obs, state
+
+
+def test_dreamer_training_step_shapes(setup):
+    conf, model, params, obs, state = setup
+    losses, out_state, metrics, tensors, dream = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1))
+    T, B = conf.batch_length, conf.batch_size
+    assert set(losses) == {"loss_model", "loss_probe", "loss_actor", "loss_critic"}
+    for k, v in losses.items():
+        assert v.shape == (), k
+        assert np.isfinite(np.asarray(v)), k
+    h, z = out_state
+    assert h.shape == (B, conf.deter_dim)
+    assert z.shape == (B, conf.stoch_dim * conf.stoch_discrete)
+    assert tensors["loss_kl"].shape == (T, B)
+    assert metrics["loss_model"].shape == ()
+    assert np.isfinite(np.asarray(metrics["policy_entropy"]))
+
+
+def test_dreamer_iwae_samples(setup):
+    conf, model, params, obs, _ = setup
+    I = 3
+    state = model.init_state(conf.batch_size * I)
+    losses, out_state, metrics, tensors, _ = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1), iwae_samples=I)
+    assert np.isfinite(np.asarray(losses["loss_model"]))
+    assert out_state[0].shape[0] == conf.batch_size * I
+
+
+def test_dreamer_open_loop_and_image_pred(setup):
+    conf, model, params, obs, state = setup
+    losses, _, metrics, tensors, _ = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1),
+        do_open_loop=True, do_image_pred=True)
+    assert "logprob_image" in metrics
+    assert "image_pred" in tensors
+    assert tensors["image_pred"].shape == obs["image"].shape
+
+
+def test_dream_tensors(setup):
+    conf, model, params, obs, state = setup
+    _, _, _, _, dream = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1), do_dream_tensors=True)
+    assert dream["action_pred"].shape == obs["action"].shape
+    assert dream["image_pred"].shape == obs["image"].shape
+
+
+def test_gradient_routing(setup):
+    """Each loss must only produce gradients in its own param subtree."""
+    conf, model, params, obs, state = setup
+
+    def loss_fn(p, which):
+        losses, *_ = model.training_step(p, obs, state, jax.random.PRNGKey(1))
+        return losses[which]
+
+    def grad_norms(which):
+        g = jax.grad(lambda p: loss_fn(p, which))(params)
+        return {k: float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), v, 0.0)) for k, v in g.items()}
+
+    gm = grad_norms("loss_model")
+    assert gm["wm"] > 0
+    assert gm["actor"] == 0 and gm["critic"] == 0 and gm["probe"] == 0
+
+    ga = grad_norms("loss_actor")
+    assert ga["actor"] > 0
+    assert ga["wm"] == 0 and ga["critic"] == 0
+
+    gc = grad_norms("loss_critic")
+    assert gc["critic"] > 0
+    assert gc["wm"] == 0 and gc["actor"] == 0
+    assert gc["critic_target"] == 0
+
+
+def test_dynamics_actor_grad():
+    conf = make_conf(actor_grad="dynamics", actor_dist="normal_tanh",
+                     stoch_discrete=0)
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    obs = _tree_to_jnp(make_batch(conf))
+    state = model.init_state(conf.batch_size)
+
+    def loss_fn(p):
+        losses, *_ = model.training_step(p, obs, state, jax.random.PRNGKey(1))
+        return losses["loss_actor"]
+
+    g = jax.grad(loss_fn)(params)
+    actor_g = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), g["actor"], 0.0)
+    wm_g = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), g["wm"], 0.0)
+    assert float(actor_g) > 0      # dynamics gradients reach the actor
+    assert float(wm_g) == 0        # but never the frozen world model
+
+
+def test_inference_step(setup):
+    conf, model, params, obs, _ = setup
+    B = 2
+    obs1 = {k: v[:1, :B] for k, v in obs.items()}
+    state = model.init_state(B)
+    action, out_state, metrics = model.inference(
+        params, obs1, state, jax.random.PRNGKey(3))
+    assert action.shape == (1, B, conf.action_dim)
+    assert np.allclose(np.asarray(action).sum(-1), 1.0)  # one-hot
+
+
+def test_probe_map():
+    conf = make_conf(probe_model="map", map_size=5, map_channels=6,
+                     image_encoder="dense", image_decoder="dense",
+                     image_categorical=True, image_channels=4, image_size=7,
+                     image_encoder_layers=2, image_decoder_layers=2)
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    obs = _tree_to_jnp(make_batch(conf))
+    state = model.init_state(conf.batch_size)
+    losses, _, metrics, tensors, _ = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses["loss_probe"]))
+    assert "acc_map" in metrics
+    assert 0.0 <= float(metrics["acc_map"]) <= 1.0
