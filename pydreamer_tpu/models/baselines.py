@@ -187,7 +187,10 @@ class GRUVAEWorldModel:
         features = features.reshape((T, B, I, -1))
         out_state = sg(out_state)
 
-        embed_next = embed.reshape((T, B, I, -1))[1:]
+        # embed is (T, B*I, E); target keeps that layout and the decoder
+        # broadcasts it over the features' I axis (assumes I == 1, as the
+        # reference does for baselines, baselines.py:165-166).
+        embed_next = embed[1:]
         _, loss_dyn, embed_pred = self.dynamics.apply(
             params["dynamics"], features[:-1], embed_next,
             method=DenseNormalDecoder.training_step)
@@ -277,7 +280,7 @@ class TransformerVAEWorldModel:
         features = self.transformer.apply(params["transformer"], embed_act)
         features = features.reshape((T, B, I, -1))
 
-        embed_next = embed.reshape((T, B, I, -1))[1:]
+        embed_next = embed[1:]  # (T-1, B*I, E); see GRU-VAE note above
         _, loss_dyn, embed_pred = self.dynamics.apply(
             params["dynamics"], features[:-1], embed_next,
             method=DenseNormalDecoder.training_step)

@@ -317,10 +317,14 @@ def evaluate(prefix: str, steps: int, model, params,
                               subdir=f"d2_wm_open_{prefix}")
             mask = (~reset_episodes).astype(np.float32)
             mask = np.where(mask > 0, mask, np.nan)
+            import warnings
             for key_name, logprobs in tensors_im.items():
                 if key_name.startswith("logprob_"):
                     lps = np.asarray(logprobs)[:5] * mask
-                    lp = np.nanmean(lps)
+                    with warnings.catch_warnings():
+                        # all-NaN slices are expected (reference: train.py:368)
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        lp = np.nanmean(lps)
                     if not np.isnan(lp):
                         metrics_eval[f"{key_name}_open"].append(float(lp))
 
