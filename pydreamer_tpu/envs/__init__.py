@@ -45,6 +45,10 @@ def create_env(env_id: str, no_terminal: bool, env_time_limit: int,
         from .minigrid import MiniGrid
         env = MiniGrid(env_id, seed=worker_id)
 
+    elif env_id.startswith("MiniWorld-"):
+        from .miniworld import MiniWorld
+        env = MiniWorld(env_id, seed=worker_id)
+
     elif env_id.startswith("Atari-"):
         from .atari import Atari
         env = Atari(env_id.split("-")[1].lower(), action_repeat=env_action_repeat,

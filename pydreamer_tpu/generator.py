@@ -262,6 +262,19 @@ def create_policy(policy_type: str, env, model_conf):
         from .envs.minigrid import MinigridWanderPolicy
         return MinigridWanderPolicy()
 
+    if policy_type == "maze_bouncing_ball":
+        from .envs.miniworld import MazeBouncingBallPolicy
+        return MazeBouncingBallPolicy()
+
+    if policy_type in ("maze_dijkstra", "goal_dijkstra"):
+        from .envs.miniworld import MazeDijkstraPolicy
+        step_size = env.params.params["forward_step"].default / env.room_size
+        turn_size = env.params.params["turn_step"].default
+        if policy_type == "maze_dijkstra":
+            return MazeDijkstraPolicy(step_size, turn_size)
+        return MazeDijkstraPolicy(step_size, turn_size,
+                                  goal_strategy="goal_direction", random_prob=0)
+
     raise ValueError(policy_type)
 
 

@@ -56,6 +56,8 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     if conf.get("platform"):
         # debug preset runs the learner on host CPU (reference `device: cpu`)
         jax.config.update("jax_platforms", str(conf.platform))
+    from ..parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     run_ = init_run(run_dir=run_dir)
     artifact_dir = run_.dir
 
@@ -111,6 +113,17 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     opt_state = trainstep.init_optimizer(params)
     run_.log_text(_describe_params(params), "architecture.txt")
 
+    # SPMD: with >1 visible device, shard batches over the 'data' mesh axis
+    # and replicate (+tensor-shard) params; GSPMD partitions the train step.
+    ctx = None
+    if jax.device_count() > 1 and conf.get("mesh_data", 0) != 1:
+        from ..parallel import DistributedContext
+        ctx = DistributedContext(conf)
+        assert conf.batch_size % ctx.n_data == 0, \
+            f"batch_size {conf.batch_size} not divisible by data mesh {ctx.n_data}"
+        params = ctx.place_params(params)
+        opt_state = ctx.place_opt_state(opt_state, params)
+
     # Resume (reference: train.py:114-116).
     steps = 0
     ckpt = run_.load_checkpoint(target={"params": params, "opt_state": opt_state})
@@ -132,7 +145,9 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
         return preprocess(iter(data))
 
     loader = ParallelLoader(make_stream, num_workers=conf.data_workers)
-    data_iter = prefetch_iterator(iter(loader), size=2)
+    data_iter = prefetch_iterator(
+        iter(loader), size=2,
+        transform=ctx.batch_transform() if ctx is not None else None)
 
     states: Dict[int, object] = {}  # TBTT state per data worker (train.py:168-178)
     rng = jax.random.PRNGKey(conf.get("seed", 0) + 1)
@@ -169,6 +184,8 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                 state = states.get(wid)
                 if state is None:
                     state = model.init_state(conf.batch_size * conf.iwae_samples)
+                    if ctx is not None:
+                        state = ctx.place_state(state)
                 rng, key = jax.random.split(rng)
                 params, opt_state, new_state, metrics, tensors, dream_tensors = \
                     trainstep(params, opt_state, batch, state, steps, key,

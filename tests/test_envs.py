@@ -1,0 +1,127 @@
+"""Env layer tests: wrapper stack contract, built-in envs, scripted planners."""
+
+import numpy as np
+import pytest
+
+from pydreamer_tpu.envs import create_env, GridWorld, CountingEnv
+from pydreamer_tpu.envs.miniworld import (MazeBouncingBallPolicy,
+                                          MazeDijkstraPolicy, find_shortest, WALL)
+from pydreamer_tpu.envs.wrappers import (ActionRewardResetWrapper,
+                                         CollectWrapper, DictWrapper,
+                                         TimeLimitWrapper)
+
+
+class TestWrapperStack:
+    def test_obs_contract(self):
+        env = create_env("Grid-4x32", False, 20, 1, 0)
+        obs = env.reset()
+        assert obs["reset"] == True  # noqa: E712
+        assert obs["terminal"] == False  # noqa: E712
+        assert obs["reward"] == 0.0
+        assert obs["action"].shape == (4,)
+        assert obs["image"].shape == (32, 32, 3)
+
+        action = np.zeros(4)
+        action[1] = 1.0
+        obs, reward, done, info = env.step(action)
+        assert obs["reset"] == False  # noqa: E712
+        np.testing.assert_array_equal(obs["action"], action)
+
+    def test_collect_wrapper_episode(self):
+        env = create_env("Counting-5", False, 0, 1, 0)
+        env.reset()
+        done = False
+        while not done:
+            obs, reward, done, info = env.step(env.action_space.sample())
+        ep = info["episode"]
+        assert len(ep["reward"]) == 6  # reset step + 5 steps
+        assert ep["reset"][0] and not ep["reset"][1:].any()
+        assert ep["terminal"][-1]  # natural end is terminal
+
+    def test_time_limit_not_terminal(self):
+        """Truncation must not be marked terminal (value bootstrapping)."""
+        env = create_env("Grid-8x32", False, 3, 1, 0)
+        env.reset()
+        for _ in range(10):
+            obs, reward, done, info = env.step(0)
+            if done:
+                break
+        if info.get("time_limit"):
+            assert not obs["terminal"], "time-limit end must not be terminal"
+
+    def test_no_terminal_flag(self):
+        env = create_env("Counting-3", True, 0, 1, 0)
+        env.reset()
+        done = False
+        while not done:
+            obs, _, done, info = env.step(env.action_space.sample())
+        assert not obs["terminal"]  # no_terminal forces terminal=False
+
+
+class TestGridWorld:
+    def test_reachable_goal(self):
+        env = GridWorld(grid_size=4, image_size=32, seed=0)
+        obs = env.reset()
+        # walk exhaustively right+down then left+up; must terminate in <max_steps
+        for i in range(200):
+            _, r, done, info = env.step(i % 4)
+            if done:
+                break
+        assert done
+
+    def test_render_shows_agent_and_goal(self):
+        env = GridWorld(grid_size=4, image_size=32, seed=1)
+        obs = env.reset()
+        img = obs["image"]
+        assert (img == 255).any()          # agent (white)
+        assert (img[:, :, 1] == 200).any()  # goal (green)
+
+
+class TestScriptedPolicies:
+    def test_find_shortest_simple_corridor(self):
+        # 5x5 open room, go from (1,1) to (3,3)
+        m = np.full((5, 5), 1)
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = WALL
+        actions, path, nvis = find_shortest(m, (1.5, 1.5, 0.0), (3.5, 3.5),
+                                            step_size=1.0, turn_size=90.0)
+        assert actions is not None and len(actions) >= 2
+        # simulate: follow actions and end near goal
+        x, y, d = 1.5, 1.5, 0.0
+        for a in actions:
+            if a == 0:
+                d -= 90.0
+            elif a == 1:
+                d += 90.0
+            else:
+                x += np.cos(d / 180 * np.pi)
+                y += np.sin(d / 180 * np.pi)
+        assert np.hypot(x - 3.5, y - 3.5) < 1.0
+
+    def test_find_shortest_unreachable(self):
+        m = np.full((5, 5), 1)
+        m[:, 2] = WALL  # wall splits the room
+        actions, path, nvis = find_shortest(m, (1.5, 1.5, 0.0), (1.5, 4.0),
+                                            step_size=1.0, turn_size=90.0)
+        assert actions is None
+
+    def test_bouncing_ball_policy(self):
+        policy = MazeBouncingBallPolicy(seed=0)
+        # moving: goes forward
+        a, _ = policy(dict(agent_pos=np.array([1.0, 1.0])))
+        assert a == 2
+        a, _ = policy(dict(agent_pos=np.array([1.5, 1.0])))
+        assert a == 2
+        # stuck at same position: turns
+        a, _ = policy(dict(agent_pos=np.array([1.5, 1.0])))
+        assert a in (0, 1)
+
+    def test_dijkstra_policy_navigates(self):
+        m = np.full((6, 6), 1)
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = WALL
+        policy = MazeDijkstraPolicy(step_size=1.0, turn_size=90.0,
+                                    random_prob=0.0, seed=0)
+        obs = dict(agent_pos=np.array([1.5, 1.5]),
+                   agent_dir=np.array([1.0, 0.0]),
+                   map=m, map_agent=m, reset=True)
+        a, _ = policy(obs)
+        assert a in (0, 1, 2)

@@ -37,7 +37,7 @@ def tiny_conf(tmp_path_factory):
         test_batches=2, test_batch_size=2, test_save_size=1,
         eval_batches=2, eval_samples=1, eval_batch_size=2, eval_save_size=1,
         verbose=False, enable_profiler=False, run_dir=None, seed=0,
-        model="dreamer", image_key="image", mesh_data=0, mesh_model=1,
+        model="dreamer", image_key="image", mesh_data=1, mesh_model=1,
     )
 
 
