@@ -125,8 +125,9 @@ class NpzEpisodeRepository(EpisodeRepository):
         logger.debug("Saved episode data: %s (%d steps)", fname, n_steps)
 
     def _load(self, path: str) -> Dict[str, np.ndarray]:
-        with np.load(path) as npz:
-            return {k: npz[k] for k in npz.files}
+        # Native parallel-inflate reader when available (falls back inside).
+        from ..native import load_npz
+        return load_npz(path)
 
     def list_files(self) -> List[FileInfo]:
         # Retry-forever matches the reference's storage resilience

@@ -120,10 +120,17 @@ _CELLS = {
 
 
 def make_gru_cell(cell_type: str, hidden_size: int, dtype=jnp.float32, name=None):
+    if cell_type == "gru_pallas_dv2":
+        # Fused Pallas TPU kernel for the late-reset cell (ops/gru_pallas.py);
+        # falls back to plain XLA on non-TPU backends / oversized shapes.
+        from ..ops.gru_pallas import NormGRUCellLateResetPallas
+        return NormGRUCellLateResetPallas(hidden_size, dtype=dtype, name=name)
     try:
         cls = _CELLS[cell_type]
     except KeyError:
-        raise ValueError(f"Unknown gru_type {cell_type!r}; options: {sorted(_CELLS)}")
+        raise ValueError(
+            f"Unknown gru_type {cell_type!r}; options: "
+            f"{sorted(_CELLS) + ['gru_pallas_dv2']}")
     return cls(hidden_size=hidden_size, dtype=dtype, name=name)
 
 
