@@ -32,9 +32,15 @@ def to_onehot(x: np.ndarray, n_categories: int) -> np.ndarray:
 
 
 def to_image(x: np.ndarray) -> np.ndarray:
-    """uint8 [0,255] or float [0,1] HWC image -> float32 [-0.5, 0.5] HWC."""
+    """RGB image -> model input.
+
+    uint8 images PASS THROUGH unchanged: the [-0.5, 0.5] float conversion
+    happens on-device inside the jitted step (models/dreamer.py
+    ``prepare_obs``), which cuts host preprocessing and host->device
+    transfer by 4x. Float images (already in [0,1]) are normalized here.
+    """
     if x.dtype == np.uint8:
-        return x.astype(np.float32) / 255.0 - 0.5
+        return x
     assert 0.0 <= x.reshape(-1)[0] <= 1.0
     return x.astype(np.float32)
 

@@ -379,6 +379,8 @@ class WorldModelProbe:
                       do_open_loop: bool = False,
                       do_image_pred: bool = False,
                       do_dream_tensors: bool = False):
+        from .dreamer import prepare_obs
+        obs = prepare_obs(obs)
         I = int(iwae_samples or self.conf.iwae_samples)
         loss_model, features, states, out_state, metrics, tensors = \
             self.wm.training_step(params["wm"], obs, in_state, key,

@@ -46,6 +46,18 @@ def compute_dtype(conf) -> Any:
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(prec)]
 
 
+def prepare_obs(obs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """On-device obs normalization: uint8 image -> float32 in [-0.5, 0.5].
+
+    Runs inside the jitted step so the host pipeline ships raw uint8 (4x
+    fewer bytes over PCIe/ICI and no float conversion on host CPUs).
+    """
+    if "image" in obs and obs["image"].dtype == jnp.uint8:
+        obs = dict(obs)
+        obs["image"] = obs["image"].astype(jnp.float32) / 255.0 - 0.5
+    return obs
+
+
 def dummy_obs(conf, T: int = 2, B: int = 2) -> Dict[str, jax.Array]:
     """Minimal observation batch matching the data contract, for module init.
 
@@ -289,6 +301,7 @@ class Dreamer:
 
         (reference: dreamer.py:92-111 + generator NetworkPolicy sampling.)
         """
+        obs = prepare_obs(obs)
         k_wm, k_act = jax.random.split(key)
         features, out_state = self.wm.forward(params["wm"], obs, in_state, k_wm)
         feature = features[:, :, 0]  # (1,B,F)
@@ -347,6 +360,7 @@ class Dreamer:
         Returns (losses, out_state, metrics, tensors, dream_tensors) where
         losses = {loss_model, loss_probe, loss_actor, loss_critic}.
         """
+        obs = prepare_obs(obs)
         I = int(iwae_samples or self.iwae_samples)
         H = int(imag_horizon or self.imag_horizon)
         T, B = obs["action"].shape[:2]

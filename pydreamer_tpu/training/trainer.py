@@ -408,9 +408,11 @@ def prepare_batch_npz(data: Dict[str, np.ndarray], take_b: int = 999):
             x = x.astype(np.float32)
 
         if x.ndim == 5:  # image (T,B,H,W,C)
-            assert x.dtype == np.float32 and (key.startswith("image") or key.startswith("map")), \
+            assert (key.startswith("image") or key.startswith("map")), \
                 f"Unexpected 3D tensor: {key}: {x.shape}, {x.dtype}"
-            if x.shape[-1] in (1, 3):
+            if x.dtype == np.uint8:
+                pass  # already display-ready
+            elif x.shape[-1] in (1, 3):
                 x = ((x + 0.5) * 255.0).clip(0, 255).astype("uint8")
             elif np.allclose(x.sum(axis=-1), 1.0) and np.allclose(x.max(axis=-1), 1.0):
                 x = x.argmax(axis=-1)
