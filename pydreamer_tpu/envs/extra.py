@@ -111,18 +111,99 @@ def _dmm_address_from_tf_config(worker_id: int) -> str:
     return os.environ.get("DMM_SERVER", "localhost:8000")
 
 
-class MineRL(Env):
+def _minerl_action(pitch=0, yaw=0, **kwargs):
+    action = dict(camera=[pitch, yaw], forward=0, back=0, left=0, right=0,
+                  attack=0, sprint=0, jump=0, sneak=0)
+    action.update(kwargs)
+    return action
 
-    def __init__(self, env_id: str, action_repeat: int = 1):
+
+# Basic movement/attack action set; crafting enum actions are appended per
+# environment (reference: pydreamer/envs/minerl.py:18-31,79-106).
+MINERL_BASIC_ACTIONS = (
+    _minerl_action(),
+    _minerl_action(pitch=-10),
+    _minerl_action(pitch=10),
+    _minerl_action(yaw=-30),
+    _minerl_action(yaw=30),
+    _minerl_action(attack=1),
+    _minerl_action(forward=1),
+    _minerl_action(back=1),
+    _minerl_action(left=1),
+    _minerl_action(right=1),
+    _minerl_action(sprint=1),
+    _minerl_action(jump=1, forward=1),
+)
+
+
+class MineRL(Env):
+    """MineRL adapter: discrete action set expanded with crafting enums,
+    log1p inventory + one-hot equipped-item vecobs components."""
+
+    def __init__(self, env_id: str, action_repeat: int = 1,
+                 action_set=MINERL_BASIC_ACTIONS):
         try:
+            import gym
             import minerl  # noqa: F401
         except ImportError as e:
             raise ImportError("MineRL environments need the minerl package; "
                               "not available in this image") from e
-        raise NotImplementedError(
-            "MineRL adapter requires the minerl runtime (JVM); see the "
-            "reference contract in pydreamer/envs/minerl.py:34-106: "
-            "discrete crafting-enum action expansion, log1p inventory vecobs")
+        self._env = gym.make(env_id)
+        self.action_set = self._extend_with_enum_actions(list(action_set))
+        self.action_repeat = action_repeat
+        self._inv_keys = list(self._env.observation_space["inventory"].spaces)
+        self._equip_enum = list(
+            self._env.observation_space["equipped_items"]["mainhand"]["type"].values)
+        self.action_space = Discrete(len(self.action_set))
+
+    def _observation(self, obs):
+        inventory = np.array([obs["inventory"][k] for k in self._inv_keys])
+        inventory = np.log1p(inventory.astype(np.float32))
+        equipped = np.zeros(len(self._equip_enum), np.float32)
+        equipped[self._equip_enum.index(
+            obs["equipped_items"]["mainhand"]["type"])] = 1.0
+        return {"image": obs["pov"], "inventory": inventory, "equipped": equipped}
+
+    def reset(self):
+        return self._observation(self._env.reset())
+
+    def step(self, action):
+        act = self.action_set[int(action)]
+        reward = 0.0
+        done = False
+        obs = info = None
+        for _ in range(self.action_repeat):
+            obs, rew, done, info = self._env.step(act)
+            reward += rew
+            if done:
+                break
+        return self._observation(obs), reward, done, dict(info or {})
+
+    def _extend_with_enum_actions(self, action_set):
+        """Append one action per non-default crafting-enum value and stamp
+        enum defaults into the movement actions (reference: minerl.py:79-106)."""
+        action_set = [dict(a) for a in action_set]
+        assert all(x in (0, [0, 0]) for x in action_set[0].values()), \
+            f"first action should be noop but is {action_set[0]}"
+        enums, defaults = {}, {}
+        for key, space in self._env.action_space.spaces.items():
+            if type(space).__name__ == "Enum":
+                enums[key] = list(space.values)
+                defaults[key] = space.default
+        for action in action_set:
+            for key, values in enums.items():
+                action[key] = values.index(defaults[key])
+        for key, values in sorted(enums.items()):
+            for index, value in enumerate(values):
+                if value == defaults[key]:
+                    continue
+                action = dict(action_set[0])
+                action[key] = index
+                action_set.append(action)
+        for action in action_set:
+            for key, enum in enums.items():
+                action[key] = enum[action[key]]
+        return tuple(action_set)
 
 
 class EmbodiedEnv(Env):
