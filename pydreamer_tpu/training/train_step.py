@@ -74,9 +74,11 @@ def make_optimizer(conf, params: Dict[str, Any]) -> optax.GradientTransformation
 class TrainStep:
     """Builds the jitted train step for a model (Dreamer or WorldModelProbe)."""
 
-    def __init__(self, model, conf):
+    def __init__(self, model, conf, donate: bool = True):
         self.model = model
         self.conf = conf
+        self.donate = donate  # donate params/opt_state buffers (in-place HBM
+        #                       update); turn off if callers reuse inputs
         self.target_interval = conf.get("target_interval", 0)
         self._jit_cache: Dict[Tuple[bool, bool], Any] = {}
 
@@ -125,7 +127,7 @@ class TrainStep:
         return params, opt_state, out_state, metrics, tensors, dream_tensors
 
     def jitted(self, do_image_pred: bool = False, do_dream_tensors: bool = False,
-               donate: bool = True):
+               donate: Optional[bool] = None):
         """Get (and cache) the compiled step for a flag combination.
 
         Flags are compile-time constants (XLA needs static graph shapes); the
@@ -133,6 +135,8 @@ class TrainStep:
         Params and optimizer state buffers are donated — updates happen
         in-place in HBM instead of doubling memory.
         """
+        if donate is None:
+            donate = self.donate
         flags = (do_image_pred, do_dream_tensors)
         if flags not in self._jit_cache:
             fn = partial(self._step, do_image_pred=do_image_pred,
