@@ -183,7 +183,9 @@ def parse_args(argv: Optional[List[str]] = None,
     pre.add_argument("--config_dir", default=config_dir)
     args, remaining = pre.parse_known_args(argv)
 
-    merged = build_conf(args.config_dir, args.configs)
+    # 'a,b' entries expand to ['a', 'b'] (reference: launch.py:27-31).
+    names = [n for entry in args.configs for n in entry.split(",")]
+    merged = build_conf(args.config_dir, names)
 
     parser = argparse.ArgumentParser(parents=[pre])
     for key, value in merged.items():

@@ -286,6 +286,22 @@ class RandomPolicy:
         return self.action_space.sample(), {}
 
 
+def _cli():
+    """Standalone generator CLI (reference: generator.py:334-345)."""
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--env_id", type=str, required=True)
+    p.add_argument("--policy_main", type=str, default="random")
+    p.add_argument("--save_uri", type=str, default=None)
+    p.add_argument("--num_steps", type=int, default=1_000_000)
+    p.add_argument("--worker_id", type=int, default=0)
+    p.add_argument("--env_time_limit", type=int, default=0)
+    p.add_argument("--env_action_repeat", type=int, default=1)
+    p.add_argument("--steps_per_npz", type=int, default=1000)
+    args = p.parse_args()
+    main(**vars(args))
+
+
 class NetworkPolicy:
     """Jitted single-step Dreamer inference with TBTT state carry."""
 
@@ -311,3 +327,7 @@ class NetworkPolicy:
         mets = {k: float(v) for k, v in jax.device_get(metrics).items()}
         action = np.asarray(action).squeeze()  # (1,1,A) => (A,)
         return action, mets
+
+
+if __name__ == "__main__":
+    _cli()
