@@ -132,7 +132,9 @@ class TestSequentialDataset:
 
 
 class TestPreprocessor:
-    def test_uint8_image_to_float(self):
+    def test_uint8_image_passthrough(self):
+        """uint8 images stay uint8 on host; the [-0.5,0.5] conversion runs
+        on-device in the jitted step (models/dreamer.py prepare_obs)."""
         pp = Preprocessor(action_dim=4)
         batch = {
             "image": np.full((5, 2, 8, 8, 3), 255, np.uint8),
@@ -142,9 +144,26 @@ class TestPreprocessor:
             "reset": np.zeros((5, 2), bool),
         }
         out = pp.apply(batch)
-        assert out["image"].dtype == np.float32
-        np.testing.assert_allclose(out["image"].max(), 0.5)
+        assert out["image"].dtype == np.uint8
         assert out["image"].shape == (5, 2, 8, 8, 3)  # HWC preserved (NHWC)
+
+        import jax.numpy as jnp
+        from pydreamer_tpu.models.dreamer import prepare_obs
+        dev = prepare_obs({"image": jnp.asarray(out["image"])})
+        assert dev["image"].dtype == jnp.float32
+        np.testing.assert_allclose(float(dev["image"].max()), 0.5)
+
+    def test_float_image_normalized(self):
+        pp = Preprocessor(action_dim=4)
+        batch = {
+            "image": np.full((2, 1, 4, 4, 3), 0.5, np.float64),
+            "action": np.zeros((2, 1, 4), np.float32),
+            "reward": np.zeros((2, 1), np.float32),
+            "terminal": np.zeros((2, 1)),
+            "reset": np.zeros((2, 1), bool),
+        }
+        out = pp.apply(batch)
+        assert out["image"].dtype == np.float32
 
     def test_categorical_image_onehot(self):
         pp = Preprocessor(action_dim=4, image_categorical=6)
