@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Export a run's metrics.jsonl to CSV (reference: results/atari/mlflow_export.ipynb)."""
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from pydreamer_tpu.analysis import export_csv
 

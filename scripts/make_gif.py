@@ -2,6 +2,10 @@
 """Turn a d2_wm_dream / d2_wm_closed npz batch dump into an animated GIF
 (reference: results/atari/makegif.ipynb)."""
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from pydreamer_tpu.analysis import make_dream_gif
 

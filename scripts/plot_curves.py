@@ -2,6 +2,10 @@
 """Plot learning curves for runs, optionally vs a baseline CSV
 (reference: results/atari/figures.ipynb)."""
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from pydreamer_tpu.analysis import plot_curves
 
