@@ -37,6 +37,22 @@ __all__ = ["FileInfo", "EpisodeRepository", "NpzEpisodeRepository",
            "build_episode_name", "parse_episode_name"]
 
 
+def save_npz_fast(fileobj, data: Dict[str, np.ndarray], level: int = 1):
+    """np.savez_compressed with a tunable deflate level.
+
+    The generator spends most of its non-env CPU compressing episodes;
+    zlib level 1 compresses images ~3x faster than numpy's fixed default
+    (6) for ~10% larger files — the right trade for a replay buffer.
+    """
+    import zipfile
+    from numpy.lib import format as npformat
+    with zipfile.ZipFile(fileobj, "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=level) as zf:
+        for key, val in data.items():
+            with zf.open(key + ".npy", "w", force_zip64=True) as f:
+                npformat.write_array(f, np.asarray(val), allow_pickle=False)
+
+
 def build_episode_name(episode_from: int, episode_to: int, reward: float,
                        steps: int, chunk_seq: Optional[int] = None) -> str:
     if chunk_seq is None:
@@ -116,7 +132,7 @@ class NpzEpisodeRepository(EpisodeRepository):
         fd, tmp = tempfile.mkstemp(dir=self.write_dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as f:
-                np.savez_compressed(f, **data)
+                save_npz_fast(f, data)
             os.replace(tmp, self.write_dir / fname)
         except BaseException:
             if os.path.exists(tmp):
