@@ -73,3 +73,40 @@ class TestShardedTrainStep:
         sys.path.insert(0, ".")
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
+
+
+def test_trainer_spmd_end_to_end(tmp_path, monkeypatch):
+    """Full learner loop on the 8-device virtual mesh: collect -> 2 sharded
+    gradient steps -> checkpoint. The trainer auto-activates SPMD."""
+    monkeypatch.setenv("PYDREAMER_RUN_DIR", str(tmp_path / "run"))
+    run_dir = tmp_path / "run"
+
+    from pydreamer_tpu import generator as gen
+    gen.main(env_id="Grid-4x64", save_uri=str(run_dir / "episodes" / "0"),
+             worker_id=0, policy_main="random", num_steps=150,
+             env_time_limit=20, steps_per_npz=50, log_metrics=False)
+
+    conf = small_conf(
+        env_id="Grid-4x64", action_dim=4, env_time_limit=20,
+        n_steps=2, n_env_steps=10**9, log_interval=1, logbatch_interval=1000,
+        save_interval=2, eval_interval=0, data_workers=0,
+        generator_workers=1, generator_workers_train=0, generator_workers_eval=0,
+        generator_prefill_steps=100, generator_prefill_policy="random",
+        buffer_size=10**6, buffer_size_offline=0, reset_interval=0,
+        allow_mid_reset=True, env_action_repeat=1, env_no_terminal=False,
+        offline_data_dir=None, offline_prefill_dir=None, offline_eval_dir=None,
+        offline_test_dir=None, limit_step_ratio=0, env_id_eval=None,
+        test_batches=2, test_batch_size=2, test_save_size=1,
+        eval_batches=2, eval_samples=1, eval_batch_size=2, eval_save_size=1,
+        verbose=False, enable_profiler=False, run_dir=None, seed=0,
+        model="dreamer", image_key="image")
+
+    from pydreamer_tpu.training import trainer
+    trainer.run(conf, run_dir=str(run_dir))
+
+    from pydreamer_tpu.tracking import Run
+    run_ = Run(run_dir)
+    assert run_.checkpoint_path.exists()
+    rows = run_.read_metrics()
+    trained = [m for m in rows if "train/loss_model" in m]
+    assert trained and np.isfinite(trained[-1]["train/loss_model"])
