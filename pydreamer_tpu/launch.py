@@ -111,16 +111,23 @@ def launch(argv: Optional[List[str]] = None, config_dir: str = "./config"):
             ))
 
     # Learner.
+    learner_proc = None
     if belongs_to_worker("learner", 0):
         logger.info("Launching learner")
-        p = ctx.Process(target=_learner_entry, daemon=False,
-                        args=(conf, str(artifact_dir)))
-        p.start()
-        subprocesses.append(p)
+        learner_proc = ctx.Process(target=_learner_entry, daemon=False,
+                                   args=(conf, str(artifact_dir)))
+        learner_proc.start()
+        subprocesses.append(learner_proc)
 
     try:
         while subprocesses:
             check_subprocesses(subprocesses)
+            # When the learner completes cleanly there is nothing left to
+            # train; shut the generator pool down too (the reference hangs
+            # here waiting on infinite generators).
+            if learner_proc is not None and learner_proc not in subprocesses:
+                logger.info("Learner finished; shutting down generators.")
+                break
             time.sleep(1)
     finally:
         for p in subprocesses:
