@@ -82,25 +82,126 @@ class DmLab(Env):
         return np.asarray(obs), float(reward), done, {}
 
 
+# DM Memory Tasks discrete action set (reference: dmm.py:34-46).
+DMM_ACTION_SET = (
+    {"MOVE_BACK_FORWARD": 0, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": 0, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": +1, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": 0, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": -1, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": 0, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": 0, "STRAFE_LEFT_RIGHT": +1, "LOOK_LEFT_RIGHT": 0, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": 0, "STRAFE_LEFT_RIGHT": -1, "LOOK_LEFT_RIGHT": 0, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": 0, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": +1, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": 0, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": -1, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": +1, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": +1, "LOOK_DOWN_UP": 0},
+    {"MOVE_BACK_FORWARD": +1, "STRAFE_LEFT_RIGHT": 0, "LOOK_LEFT_RIGHT": -1, "LOOK_DOWN_UP": 0},
+)
+
+
 class DMMEnv(Env):
     """Remote DeepMind Memory Tasks over gRPC dm_env_rpc
-    (reference: pydreamer/envs/dmm.py:67-227)."""
+    (reference: pydreamer/envs/dmm.py:67-227). Needs a live env server;
+    the address comes from TF_CONFIG worker slots or DMM_SERVER."""
 
     def __init__(self, level: str, num_action_repeats: int = 1,
-                 worker_id: int = 0, address: Optional[str] = None):
+                 worker_id: int = 0, address: Optional[str] = None,
+                 action_set=DMM_ACTION_SET, size=(64, 64)):
         try:
             import grpc  # noqa: F401
-            from dm_env_rpc.v1 import dm_env_adaptor  # noqa: F401
+            from dm_env_rpc.v1 import dm_env_adaptor
         except ImportError as e:
             raise ImportError("DMM environments need grpc + dm_env_rpc; "
                               "not available in this image") from e
+        import random as _random
         address = address or _dmm_address_from_tf_config(worker_id)
-        raise NotImplementedError(
-            "DMM remote env wiring requires a live dm_env_rpc server; "
-            f"would connect to {address}")
+        channel, connection, specs = _dmm_connect(
+            level, _random.randint(1, 999999), address)
+        self._rpc_env = dm_env_adaptor.DmEnvAdaptor(
+            connection, specs, ["RGB_INTERLEAVED"])
+        self._channel = channel
+        self._num_action_repeats = num_action_repeats
+        self._action_set = tuple(action_set)
+        self._size = size
+        self.action_space = Discrete(len(self._action_set), seed=worker_id)
+
+    def _observation(self, timestep):
+        from PIL import Image
+        img = timestep.observation["RGB_INTERLEAVED"]
+        return np.array(Image.fromarray(img).resize(self._size, Image.NEAREST))
+
+    def reset(self):
+        return self._observation(self._rpc_env.reset())
+
+    def step(self, action):
+        timestep = None
+        reward = 0.0
+        for _ in range(self._num_action_repeats):
+            timestep = self._rpc_env.step(self._action_set[int(action)])
+            reward += timestep.reward or 0.0
+            if timestep.last():
+                break
+        # DMM does not reliably distinguish terminal vs time-limit via
+        # discount (reference: dmm.py:119-120); treat done as time-limit so
+        # values keep bootstrapping.
+        done = timestep.last()
+        info = {"time_limit": True} if done else {}
+        return self._observation(timestep), reward, done, info
+
+    def close(self):
+        self._rpc_env.close()
+        self._channel.close()
 
 
-def _dmm_address_from_tf_config(worker_id: int) -> str:
+def _dmm_connect(level_name: str, seed: int, address: str,
+                 width: int = 96, height: int = 72,
+                 episode_length_seconds: float = 120.0,
+                 max_attempts: int = 10):
+    """Create world + join over dm_env_rpc (reference: dmm.py:155-227)."""
+    import time as _time
+    import grpc
+    from dm_env_rpc.v1 import connection as rpc_connection
+    from dm_env_rpc.v1 import dm_env_rpc_pb2, tensor_utils
+    from dm_env_rpc.v1 import error as rpc_error
+    from ..tools import logger
+
+    channel = connection = None
+    for _ in range(max_attempts):
+        channel = grpc.insecure_channel(address)
+        try:
+            grpc.channel_ready_future(channel).result(timeout=1)
+        except grpc.FutureTimeoutError:
+            channel.close()
+            _time.sleep(1.0)
+            continue
+        connection = rpc_connection.Connection(channel)
+        try:
+            connection.send(dm_env_rpc_pb2.StepRequest())
+            break  # unexpected success still means reachable
+        except rpc_error.DmEnvRpcError:
+            break  # server answered with a protocol error: connected
+        except grpc.RpcError:
+            logger.warning("GRPC problem connecting to %s - retrying", address)
+            connection.close()
+            channel.close()
+            connection = None
+            _time.sleep(1.0)
+    if connection is None:
+        raise ConnectionError(f"Could not connect to DMM env on {address}")
+
+    world_name = connection.send(dm_env_rpc_pb2.CreateWorldRequest(settings={
+        "seed": tensor_utils.pack_tensor(seed),
+        "episodeId": tensor_utils.pack_tensor(0),
+        "levelName": tensor_utils.pack_tensor(level_name),
+    })).world_name
+    specs = connection.send(dm_env_rpc_pb2.JoinWorldRequest(
+        world_name=world_name,
+        settings={
+            "width": tensor_utils.pack_tensor(width),
+            "height": tensor_utils.pack_tensor(height),
+            "EpisodeLengthSeconds": tensor_utils.pack_tensor(episode_length_seconds),
+        })).specs
+    return channel, connection, specs
+
+
+def _dmm_address_from_tf_config(worker_id: int) -> str:  # noqa: E302
     import json
     tf_config = os.environ.get("TF_CONFIG")
     if tf_config:
