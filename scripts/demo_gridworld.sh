@@ -11,7 +11,15 @@ RUN_DIR="${1:-runs/grid_demo}"
 TARGET_STEPS="${2:-20000}"
 SEGMENT="${3:-2500}"
 
-cur=0
+# Resume from the existing checkpoint's step, if any.
+cur=$(python - "$RUN_DIR" <<'PYEOF'
+import sys
+from pydreamer_tpu.tracking import load_checkpoint_file
+ck = load_checkpoint_file(sys.argv[1] + "/checkpoints/latest.ckpt")
+print(ck[1] if ck else 0)
+PYEOF
+)
+echo "=== resuming from step $cur ==="
 while [ "$cur" -lt "$TARGET_STEPS" ]; do
   cur=$((cur + SEGMENT))
   if [ "$cur" -gt "$TARGET_STEPS" ]; then cur="$TARGET_STEPS"; fi
