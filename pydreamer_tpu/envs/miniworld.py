@@ -18,7 +18,6 @@ policies generate exploration data for offline probe training:
 from __future__ import annotations
 
 import math
-import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -31,7 +31,7 @@ import numpy as np
 
 from .data import make_repository
 from .data.preprocessing import Preprocessor
-from .tools import (LogColorFormatter, Timer, configure_logging, discount,
+from .tools import (LogColorFormatter, configure_logging, discount,
                     logger, print_once)
 from .tracking import init_run, load_checkpoint_file
 

@@ -20,11 +20,10 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
-import sys
 import time
 from typing import List, Optional, Tuple
 
-from .conf import Conf, parse_args
+from .conf import parse_args
 from .tools import configure_logging, logger, print_once
 from .tracking import init_run
 

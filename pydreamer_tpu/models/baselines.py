@@ -18,7 +18,7 @@ it is fully time-parallel on the MXU.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

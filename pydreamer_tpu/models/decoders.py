@@ -18,7 +18,7 @@ a deliberate layout divergence from the reference's channel-first).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -18,8 +18,6 @@ from jitted functions and `lax.scan` bodies.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

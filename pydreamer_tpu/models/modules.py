@@ -12,10 +12,9 @@ MXU fed at full rate and needs no loss scaling).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["Dense", "Norm", "MLP", "xavier_uniform", "orthogonal_init"]

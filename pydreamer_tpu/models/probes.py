@@ -16,7 +16,7 @@ caller detaches features unless ``probe_gradients`` is on.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,13 +20,13 @@ the latent at episode boundaries while keeping shapes static (rssm.py:134-135).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .distributions import OneHotCategorical, DiagNormal, diag_normal
+from .distributions import OneHotCategorical, diag_normal
 from .functions import expand_iwae
 from .modules import Dense, Norm
 from .rnn import GRUCellStack

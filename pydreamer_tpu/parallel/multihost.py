@@ -17,7 +17,7 @@ wires them into one SPMD learner:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

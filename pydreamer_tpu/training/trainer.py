@@ -18,7 +18,6 @@ TPU-specific design:
 
 from __future__ import annotations
 
-import math
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
@@ -28,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..conf import Conf
-from ..data import (NpzEpisodeRepository, ParallelLoader, Preprocessor,
-                    SequentialDataset, make_repository, prefetch_iterator)
+from ..data import (ParallelLoader, Preprocessor, SequentialDataset,
+                    make_repository, prefetch_iterator)
 from ..models.baselines import WorldModelProbe
 from ..models.dreamer import Dreamer
 from ..tools import Timer, configure_logging, logger, print_once, timers_summary
