@@ -281,6 +281,22 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                         logger.warning("Evaluation failed: %r", e)
 
 
+_EVAL_STEP_CACHE: Dict = {}
+
+
+def _get_eval_step(model, eval_samples: int):
+    """Memoized jitted eval step — a fresh lambda per evaluate() call would
+    bust jax's compilation cache and recompile on every eval."""
+    key = (id(model), eval_samples)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = jax.jit(
+            lambda p, o, s, k, ol, ip: model.training_step(
+                p, o, s, k, iwae_samples=eval_samples,
+                do_open_loop=ol, do_image_pred=ip),
+            static_argnums=(4, 5))
+    return _EVAL_STEP_CACHE[key]
+
+
 def evaluate(prefix: str, steps: int, model, params,
              data_iterator: Iterator, run_: Run,
              eval_batches: int, eval_samples: int, keep_state: bool,
@@ -295,11 +311,7 @@ def evaluate(prefix: str, steps: int, model, params,
     do_output_tensors = True
     rng = jax.random.PRNGKey(steps)
 
-    eval_step = jax.jit(
-        lambda p, o, s, k, ol, ip: model.training_step(
-            p, o, s, k, iwae_samples=eval_samples,
-            do_open_loop=ol, do_image_pred=ip),
-        static_argnums=(4, 5))
+    eval_step = _get_eval_step(model, eval_samples)
 
     for i_batch in range(eval_batches):
         batch = next(data_iterator)
