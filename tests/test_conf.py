@@ -27,6 +27,30 @@ class TestYamlUnion:
         with pytest.raises(KeyError):
             build_conf(CONFIG_DIR, ["defaults", "nonexistent"])
 
+    def test_all_presets_union_cleanly(self):
+        """Every section in every YAML introduces only keys declared in
+        defaults — the contract that makes each key a typed CLI flag
+        (reference: launch.py:33-41 relies on the same invariant)."""
+        sections = read_yamls(CONFIG_DIR)
+        default_keys = set(sections["defaults"])
+        for name, section in sections.items():
+            if name == "defaults":
+                continue
+            merged = build_conf(CONFIG_DIR, ["defaults", name])
+            extra = set(section) - default_keys
+            assert not extra, f"section {name!r} has undeclared keys {extra}"
+            assert merged["batch_length"] > 0
+
+    def test_experiment_presets(self):
+        d = build_conf(CONFIG_DIR, ["defaults", "atari", "atari_pong"])
+        assert d["env_id"] == "Atari-Pong" and d["n_env_steps"] == 20_000_000
+        d = build_conf(CONFIG_DIR, ["defaults", "dmc", "dmc_walker_run"])
+        assert d["env_id"] == "DMC-walker_run" and d["action_dim"] == 6
+        d = build_conf(CONFIG_DIR, ["defaults", "minerl"])
+        assert d["stoch_dim"] == 96 and d["batch_length"] == 16
+        d = build_conf(CONFIG_DIR, ["defaults", "miniworld_offline"])
+        assert d["probe_model"] == "goals" and d["imag_horizon"] == 1
+
 
 class TestCli:
     def test_parse_with_overrides(self):
