@@ -38,12 +38,12 @@ def main():
         """n pipelined steps, closed by a host fetch of the final loss
         (float() forces a full device sync — block_until_ready on remote
         backends can return before the dependency chain finishes)."""
-        nonlocal params, opt_state, state, rng
+        nonlocal params, opt_state, state
         t0 = time.perf_counter()
         for i in range(i0, i0 + n):
-            rng, key = jax.random.split(rng)
+            # rng passed as-is: the step fold_ins i on-device (zero host RNG work)
             params, opt_state, state, metrics, *_ = step_fn(
-                params, opt_state, batch, state, i, key)
+                params, opt_state, batch, state, i, rng)
         loss = float(metrics["loss_model"])
         return n / (time.perf_counter() - t0), loss
 

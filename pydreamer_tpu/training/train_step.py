@@ -90,6 +90,12 @@ class TrainStep:
 
     def _step(self, params, opt_state, obs, in_state, step, key,
               do_image_pred: bool, do_dream_tensors: bool):
+        # Derive this step's RNG stream on-device from (key, step). Callers
+        # can pass the SAME key buffer every step — no host-side
+        # jax.random.split per iteration (measurably ~1 ms/step of host work
+        # on small hosts; see PERF.md). Passing a fresh key still works.
+        key = jax.random.fold_in(key, step)
+
         # Periodic critic_target <- critic hard copy BEFORE the grad step,
         # matching the reference's pre-update refresh (a2c.py:76-79).
         if "critic_target" in params and self.target_interval:

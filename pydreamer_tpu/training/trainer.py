@@ -185,9 +185,10 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                     state = model.init_state(conf.batch_size * conf.iwae_samples)
                     if ctx is not None:
                         state = ctx.place_state(state)
-                rng, key = jax.random.split(rng)
+                # rng is passed as-is every step; the jitted step fold_ins the
+                # step index on-device (no host-side split in the hot loop).
                 params, opt_state, new_state, metrics, tensors, dream_tensors = \
-                    trainstep(params, opt_state, batch, state, steps, key,
+                    trainstep(params, opt_state, batch, state, steps, rng,
                               do_image_pred=will_image_pred,
                               do_dream_tensors=will_log_batch)
                 if conf.keep_state:

@@ -71,13 +71,11 @@ def main():
         rng = jax.random.PRNGKey(1)
         fn = ts.jitted(False, False)
         for i in range(3):  # compile + warmup
-            rng, k = jax.random.split(rng)
-            params, opt, _, m, *_ = fn(params, opt, batch, state, i, k)
+            params, opt, _, m, *_ = fn(params, opt, batch, state, i, rng)
         float(m["loss_model"])
         t0 = time.perf_counter()
         for i in range(args.steps):
-            rng, k = jax.random.split(rng)
-            params, opt, _, m, *_ = fn(params, opt, batch, state, i, k)
+            params, opt, _, m, *_ = fn(params, opt, batch, state, i, rng)
         float(m["loss_model"])
         sps = args.steps / (time.perf_counter() - t0)
         if base_sps is None:

@@ -68,6 +68,20 @@ def test_critic_target_refresh_on_interval(setup):
                                rtol=1e-6)
 
 
+def test_rng_stream_derived_from_step(setup):
+    """The step fold_ins the step index on-device, so callers may pass the
+    SAME key every iteration and still get fresh randomness per step."""
+    conf, model, params, ts, opt_state, batch, state = setup
+    key = jax.random.PRNGKey(9)
+    p1, _, _, m1, _, _ = ts(params, opt_state, batch, state, 1, key)
+    p2, _, _, m2, _, _ = ts(params, opt_state, batch, state, 2, key)
+    p1b, _, _, m1b, _, _ = ts(params, opt_state, batch, state, 1, key)
+    # Same (key, step) => deterministic
+    np.testing.assert_array_equal(_flat(p1["wm"]), _flat(p1b["wm"]))
+    # Different step, same key => different sampling => different gradients
+    assert not np.allclose(_flat(p1["actor"]), _flat(p2["actor"]))
+
+
 def test_metrics_include_losses(setup):
     conf, model, params, ts, opt_state, batch, state = setup
     _, _, _, metrics, _, _ = ts(params, opt_state, batch, state, 1,
