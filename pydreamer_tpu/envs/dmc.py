@@ -7,11 +7,19 @@ concatenated into ``vecobs`` by the preprocessor downstream. Requires
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .base import Box, Env
 
 __all__ = ["DMC"]
+
+# Headless TPU VMs have no X server; MuJoCo needs an explicit GL backend
+# there. EGL renders on GPU-less hosts too. (The reference instead wraps
+# runs in scripts/xvfb_run.sh.) Must be set before dm_control import.
+if not os.environ.get("DISPLAY"):
+    os.environ.setdefault("MUJOCO_GL", "egl")
 
 _CAMERAS = dict(
     quadruped_walk=2, quadruped_run=2, quadruped_escape=2, quadruped_fetch=2,

@@ -11,6 +11,59 @@ from pydreamer_tpu.envs.wrappers import (ActionRewardResetWrapper,
                                          TimeLimitWrapper)
 
 
+class TestGymnasiumFallback:
+    """Unknown env_id prefixes dispatch to gymnasium (reference: the gym.make
+    fallback, pydreamer/envs/__init__.py:61-63)."""
+
+    def test_cartpole_vecobs_contract(self):
+        pytest.importorskip("gymnasium")
+        env = create_env("CartPole-v1", False, 200, 1, 0)
+        obs = env.reset()
+        assert obs["vecobs"].shape == (4,) and "image" not in obs
+        assert obs["action"].shape == (2,)  # one-hot discrete
+        obs, reward, done, info = env.step(np.array([0.0, 1.0]))
+        assert reward == 1.0
+
+
+class TestDMC:
+    """Real dm_control env through the full wrapper stack (gated on SDK +
+    headless EGL rendering; reference: pydreamer/envs/dmc.py:8-93)."""
+
+    @pytest.fixture(scope="class")
+    def dmc_env(self):
+        pytest.importorskip("dm_control")
+        try:
+            env = create_env("DMC-cartpole_balance", False, 500, 2, 0)
+            env.reset()
+        except Exception as e:  # no usable GL backend on this machine
+            pytest.skip(f"dm_control rendering unavailable: {e}")
+        return env
+
+    def test_obs_and_continuous_action_contract(self, dmc_env):
+        obs = dmc_env.reset()
+        assert obs["image"].shape == (64, 64, 3) and obs["image"].dtype == np.uint8
+        assert obs["vecobs"].dtype == np.float32 and obs["vecobs"].ndim == 1
+        # Continuous action space: no one-hot wrapper applied.
+        assert not hasattr(dmc_env.action_space, "n")
+        a = np.zeros(dmc_env.action_space.shape, np.float32)
+        obs, reward, done, info = dmc_env.step(a)
+        np.testing.assert_array_equal(obs["action"], a)
+        assert np.isfinite(reward)
+
+    def test_action_repeat_time_limit(self, dmc_env):
+        # cartpole_balance runs 1000 sim steps; action_repeat=2 => 500 agent
+        # steps, ends by time (discount 1.0) => not terminal.
+        dmc_env.reset()
+        done = False
+        steps = 0
+        while not done and steps < 600:
+            _, _, done, info = dmc_env.step(
+                np.zeros(dmc_env.action_space.shape, np.float32))
+            steps += 1
+        assert done and steps == 500
+        assert info["episode"]["terminal"][-1] == False  # noqa: E712
+
+
 class TestWrapperStack:
     def test_obs_contract(self):
         env = create_env("Grid-4x32", False, 20, 1, 0)
