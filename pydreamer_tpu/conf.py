@@ -149,7 +149,8 @@ def _coerce(sval: Any, example: Any) -> Any:
     if not isinstance(sval, str):
         return sval
     if example is None:
-        # untyped key: try int, float, bool, else string; empty string -> None
+        # untyped key: try int, float, bool, yaml list/dict, else string;
+        # empty string -> None
         if sval == "" or sval.lower() == "none":
             return None
         for conv in (int, float):
@@ -160,7 +161,13 @@ def _coerce(sval: Any, example: Any) -> Any:
         try:
             return _strtobool(sval)
         except ValueError:
-            return sval
+            pass
+        if sval[:1] in "[{":  # e.g. --reward_decoder_categorical "[-10,0,10]"
+            try:
+                return yaml.safe_load(sval)
+            except yaml.YAMLError:
+                pass
+        return sval
     if isinstance(example, bool):
         return _strtobool(sval)
     if isinstance(example, int):
@@ -189,12 +196,12 @@ def parse_args(argv: Optional[List[str]] = None,
 
     parser = argparse.ArgumentParser(parents=[pre])
     for key, value in merged.items():
-        if isinstance(value, bool):
-            parser.add_argument(f"--{key}", type=_strtobool, default=value)
-        elif value is None:
-            parser.add_argument(f"--{key}", default=None)
-        else:
-            parser.add_argument(f"--{key}", type=type(value), default=value)
+        # Every conversion goes through _coerce with the merged value as the
+        # type example: bools parse "true/false", ints accept "1e5", None-
+        # typed keys infer int/float/bool/None, list-typed keys yaml-parse
+        # ("[1,2,3]") instead of argparse's char-splitting.
+        parser.add_argument(f"--{key}", type=lambda s, ex=value: _coerce(s, ex),
+                            default=value)
     final = parser.parse_args(argv)
     d = vars(final)
     d.pop("config_dir", None)

@@ -64,7 +64,8 @@ class ActorCritic:
                  layer_norm: bool = True, gamma: float = 0.999,
                  lambda_gae: float = 0.95, entropy_weight: float = 1e-3,
                  target_interval: int = 100, actor_grad: str = "reinforce",
-                 actor_dist: str = "onehot", dtype=jnp.float32):
+                 actor_dist: str = "onehot",
+                 critic_features_grad: bool = False, dtype=jnp.float32):
         self.in_dim = in_dim
         self.out_actions = out_actions
         self.gamma = gamma
@@ -73,6 +74,13 @@ class ActorCritic:
         self.target_interval = target_interval
         self.actor_grad = actor_grad
         self.actor_dist = actor_dist
+        # Let the critic MSE backprop into the input features. False for the
+        # imagination AC (loss_critic must touch only the critic subtree);
+        # True for the auxiliary critic, whose purpose is shaping world-model
+        # features from real data (reference: dreamer.py:345-358 + a2c.py:113
+        # — there the aux loss reaches the WM because features arrive
+        # non-detached).
+        self.critic_features_grad = critic_features_grad
         actor_out_dim = out_actions if actor_dist == "onehot" else 2 * out_actions
         self.actor = MLP(actor_out_dim, hidden_dim, hidden_layers, layer_norm, dtype=dtype)
         self.critic = MLP(1, hidden_dim, hidden_layers, layer_norm, dtype=dtype)
@@ -108,11 +116,24 @@ class ActorCritic:
                       terminals: jax.Array,  # (J,M)
                       log_only: bool = False,
                       ) -> Tuple[Tuple[jax.Array, jax.Array], Dict, Dict]:
+        # log_only is kept for call-site parity with the reference, where it
+        # gates the critic_target refresh (a2c.py:76-79). Here that refresh
+        # lives in TrainStep (training/train_step.py), so the flag changes
+        # nothing: callers on the log path discard the losses and keep the
+        # diagnostic tensors.
+        del log_only
         reward1 = rewards[1:]        # (H,M)
         terminal0 = terminals[:-1]
         terminal1 = terminals[1:]
 
-        value_t = self.critic.apply(params["critic_target"], sg(features))
+        # Values from the frozen target net. Gradients must never reach the
+        # critic_target PARAMS (sg on the param tree — the optimizer
+        # additionally labels the subtree frozen), but they DO flow through
+        # the FEATURES: in dynamics mode that is the whole policy-gradient
+        # path (loss_policy = -value_target -> features -> dream -> actor).
+        # In reinforce mode the caller passes detached features, so this is
+        # equivalent to the reference (a2c.py:88 on pre-detached inputs).
+        value_t = self.critic.apply(sg(params["critic_target"]), features)
         value0t = value_t[:-1]
         value1t = value_t[1:]
         advantage = -value0t + reward1 + self.gamma * (1.0 - terminal1) * value1t
@@ -123,8 +144,11 @@ class ActorCritic:
         # that continued past a predicted episode end.
         reality_weight = sg(jnp.cumprod(1.0 - terminal0, axis=0))
 
-        # Critic regression to detached GAE value target.
-        value = self.critic.apply(params["critic"], sg(features))
+        # Critic regression to detached GAE value target. Features are
+        # stop-gradiented unless this is an auxiliary critic meant to shape
+        # the world model (critic_features_grad).
+        feat_v = features if self.critic_features_grad else sg(features)
+        value = self.critic.apply(params["critic"], feat_v)
         value0 = value[:-1]
         loss_critic = 0.5 * jnp.square(sg(value_target) - value0)
         loss_critic = (loss_critic * reality_weight).mean()
@@ -135,7 +159,10 @@ class ActorCritic:
             action_logprob = policy_distr.log_prob(sg(actions))
             loss_policy = -action_logprob * sg(advantage_gae)
         elif self.actor_grad == "dynamics":
-            policy_distr = self.forward_actor(params["actor"], sg(features[:-1]))
+            # Features stay live: the entropy and value terms backprop
+            # through the imagined states into the actor (WM params are
+            # frozen by the caller's stop_gradient in dream()).
+            policy_distr = self.forward_actor(params["actor"], features[:-1])
             loss_policy = -value_target
         else:
             raise ValueError(f"unknown actor_grad {self.actor_grad!r}")
@@ -161,11 +188,3 @@ class ActorCritic:
             value_weight=reality_weight,
         )
         return (loss_actor, loss_critic), metrics, tensors
-
-    @staticmethod
-    def update_critic_target(params: Dict[str, Any]) -> Dict[str, Any]:
-        """Hard copy critic -> critic_target (reference: a2c.py:151-152)."""
-        out = dict(params)
-        out["critic_target"] = jax.tree_util.tree_map(
-            lambda x: x, params["critic"])
-        return out

@@ -172,8 +172,14 @@ class GRUVAEWorldModel:
     def training_step(self, params, obs, in_state, key,
                       iwae_samples: int = 1, do_open_loop=False, do_image_pred=False):
         # Reset only honored at batch start (reference: baselines.py:138-141).
+        # in_state is (B*I, D); the (B,) reset mask is repeated over the IWAE
+        # samples with the same interleaving as expand_iwae.
         reset_first = obs["reset"][0]
-        in_state = in_state * (~reset_first.astype(bool))[:, None].astype(jnp.float32)
+        mask = (~reset_first.astype(bool)).astype(jnp.float32)   # (B,)
+        rep = in_state.shape[0] // mask.shape[0]
+        if rep > 1:
+            mask = jnp.repeat(mask, rep, axis=0)
+        in_state = in_state * mask[:, None]
 
         loss, embed, _, _, metrics, tensors = self.embedding.training_step(
             params["embedding"], obs, None, key,
@@ -187,13 +193,14 @@ class GRUVAEWorldModel:
         features = features.reshape((T, B, I, -1))
         out_state = sg(out_state)
 
-        # embed is (T, B*I, E); target keeps that layout and the decoder
-        # broadcasts it over the features' I axis (assumes I == 1, as the
-        # reference does for baselines, baselines.py:165-166).
-        embed_next = embed[1:]
-        _, loss_dyn, embed_pred = self.dynamics.apply(
-            params["dynamics"], features[:-1], embed_next,
-            method=DenseNormalDecoder.training_step)
+        # Each IWAE sample predicts ITS OWN next embedding, so the loss is
+        # computed directly against the (T-1,B,I,E) targets (the decoder's
+        # training_step tiles ONE target over I, which is wrong here for I>1).
+        embed_next = embed[1:].reshape((T - 1, B, I, -1))
+        dyn_dist = self.dynamics.apply(params["dynamics"], features[:-1])
+        loss_dyn_tbi = -dyn_dist.log_prob(embed_next) * (self.dynamics.std ** 2)
+        loss_dyn = -logavgexp(-loss_dyn_tbi, axis=2)                 # (T-1,B)
+        embed_pred = dyn_dist.mean.mean(axis=2)                      # (T-1,B,E)
         loss = loss + loss_dyn.mean()
         metrics["loss_dyn"] = sg(loss_dyn.mean())
         tensors["loss_dyn"] = sg(loss_dyn)
@@ -280,10 +287,12 @@ class TransformerVAEWorldModel:
         features = self.transformer.apply(params["transformer"], embed_act)
         features = features.reshape((T, B, I, -1))
 
-        embed_next = embed[1:]  # (T-1, B*I, E); see GRU-VAE note above
-        _, loss_dyn, embed_pred = self.dynamics.apply(
-            params["dynamics"], features[:-1], embed_next,
-            method=DenseNormalDecoder.training_step)
+        # Per-sample next-embedding targets, (T-1,B,I,E); see GRU-VAE note.
+        embed_next = embed[1:].reshape((T - 1, B, I, -1))
+        dyn_dist = self.dynamics.apply(params["dynamics"], features[:-1])
+        loss_dyn_tbi = -dyn_dist.log_prob(embed_next) * (self.dynamics.std ** 2)
+        loss_dyn = -logavgexp(-loss_dyn_tbi, axis=2)                 # (T-1,B)
+        embed_pred = dyn_dist.mean.mean(axis=2)                      # (T-1,B,E)
         loss = loss + loss_dyn.mean()
         metrics["loss_dyn"] = sg(loss_dyn.mean())
         tensors["loss_dyn"] = sg(loss_dyn)

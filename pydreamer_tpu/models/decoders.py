@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .distributions import Bernoulli, CategoricalSupport, Normal, DiagNormal
+from .distributions import (Bernoulli, CategoricalSupport, DiagNormal, Normal,
+                            support_to_categorical)
 from .functions import flatten_batch, unflatten_batch, insert_dim, logavgexp, nanmean
 from .modules import Dense, Norm, MLP, xavier_uniform
 
@@ -207,10 +208,6 @@ class DenseCategoricalSupportDecoder(nn.Module):
                 self.layer_norm, dtype=self.dtype, name="model")(features)
         return CategoricalSupport(logits=y, support=jnp.asarray(self.support, jnp.float32))
 
-    def to_categorical(self, target: jax.Array) -> jax.Array:
-        sup = jnp.asarray(self.support, jnp.float32)
-        return jnp.argmin(jnp.square(target[..., None] - sup), axis=-1)
-
     def training_step(self, features, target):
         I = features.shape[2]
         target_i = insert_dim(target, 2, I)
@@ -314,7 +311,7 @@ class MultiDecoder(nn.Module):
             # Per-reward-bucket logprob diagnostics (reference: decoders.py:85-106).
             if self.reward_decoder_categorical:
                 sup = jnp.asarray(self.reward_decoder_categorical, jnp.float32)
-                reward_cat = jnp.argmin(jnp.square(obs["reward"][..., None] - sup), -1)
+                reward_cat = support_to_categorical(obs["reward"], sup)
                 for i in range(len(self.reward_decoder_categorical)):
                     mask = (reward_cat == i).astype(jnp.float32)
                     loss_rewardp = loss_reward * mask / mask  # nan where ~mask

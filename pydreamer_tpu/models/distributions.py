@@ -25,6 +25,7 @@ __all__ = [
     "OneHotCategorical", "DiagNormal", "Bernoulli", "Normal",
     "CategoricalSupport", "TanhNormal",
     "diag_normal", "normal_tanh", "tanh_normal", "zdistr_kl",
+    "support_to_categorical",
 ]
 
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
@@ -32,6 +33,16 @@ _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 def _f32(x):
     return jnp.asarray(x, jnp.float32)
+
+
+def support_to_categorical(target: jax.Array, support: jax.Array) -> jax.Array:
+    """Nearest-bucket index of a continuous target on a fixed scalar support.
+
+    The single definition of reward bucketing — shared by the
+    CategoricalSupport distribution (loss path) and MultiDecoder's
+    per-bucket diagnostics, so they can never disagree."""
+    support = _f32(support)
+    return jnp.argmin(jnp.square(_f32(target)[..., None] - support), axis=-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -206,8 +217,7 @@ class CategoricalSupport:
 
     def to_categorical(self, target: jax.Array) -> jax.Array:
         """Nearest-support-bucket index for a continuous target."""
-        d = jnp.square(_f32(target)[..., None] - self.support)
-        return jnp.argmin(d, axis=-1)
+        return support_to_categorical(target, self.support)
 
     def log_prob_idx(self, idx: jax.Array) -> jax.Array:
         return jnp.take_along_axis(self.logits, idx[..., None], axis=-1).squeeze(-1)

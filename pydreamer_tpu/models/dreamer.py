@@ -137,6 +137,7 @@ class WorldModel:
                 lambda_gae=conf.lambda_gae_aux, entropy_weight=conf.entropy,
                 target_interval=conf.target_interval_aux,
                 actor_grad=conf.actor_grad, actor_dist=conf.actor_dist,
+                critic_features_grad=True,  # aux loss shapes the WM features
                 dtype=self.dtype)
         else:
             self.ac_aux = None

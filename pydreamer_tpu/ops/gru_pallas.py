@@ -149,7 +149,9 @@ class NormGRUCellLateResetPallas:
                                   (3 * self.hidden_size,), jnp.float32)
                 dt = self.dtype
                 on_tpu = jax.devices()[0].platform == "tpu"
-                if on_tpu and fits_vmem(x.shape[-1], self.hidden_size, x.shape[0]):
+                if on_tpu and fits_vmem(x.shape[-1], self.hidden_size,
+                                        x.shape[0],
+                                        bytes_per_el=jnp.dtype(dt).itemsize):
                     out = fused_gru_dv2(x.astype(dt), h.astype(dt),
                                         w_ih.astype(dt), w_hh.astype(dt),
                                         scale, bias)

@@ -72,16 +72,20 @@ def configure_logging(prefix: str = "[MAIN]", color: Optional[str] = None,
 
 
 class Timer:
-    """Context timer accumulating total seconds per name (reference: tools.py:231-255)."""
+    """Context timer accumulating seconds per name (reference: tools.py:231-255).
 
-    registry: Dict[str, "Timer"] = {}
+    Samples accumulate in a class-level registry keyed by name, so
+    ``with Timer("step"):`` constructed fresh every loop iteration keeps
+    appending to the same series (the trainer does exactly that); the
+    per-name history survives until ``timers_summary(reset=True)`` drains it.
+    """
+
+    registry: Dict[str, list] = {}
 
     def __init__(self, name: str = "timer", verbose: bool = False):
         self.name = name
         self.verbose = verbose
         self.start_time: Optional[float] = None
-        self.times = []
-        Timer.registry[name] = self
 
     def __enter__(self):
         self.start_time = time.time()
@@ -89,27 +93,32 @@ class Timer:
 
     def __exit__(self, *exc):
         dt = time.time() - self.start_time  # type: ignore
-        self.times.append(dt)
+        Timer.registry.setdefault(self.name, []).append(dt)
         if self.verbose:
             logger.debug("%s: %.1f ms", self.name, dt * 1000)
         return False
+
+    @property
+    def times(self) -> list:
+        return Timer.registry.get(self.name, [])
 
     @property
     def dt_mean(self) -> float:
         return float(np.mean(self.times)) if self.times else 0.0
 
     def reset(self):
-        self.times = []
+        Timer.registry[self.name] = []
 
 
 def timers_summary(reset: bool = True) -> Dict[str, float]:
-    """Mean seconds per named timer, as ``timer_*`` metrics."""
+    """Mean seconds per named timer over the window, as ``timer_*`` metrics."""
     out = {}
-    for name, t in Timer.registry.items():
-        if t.times:
-            out[f"timer_{name}"] = t.dt_mean
-            if reset:
-                t.reset()
+    for name, times in Timer.registry.items():
+        if times:
+            out[f"timer_{name}"] = float(np.mean(times))
+    if reset:
+        for name in Timer.registry:
+            Timer.registry[name] = []
     return out
 
 

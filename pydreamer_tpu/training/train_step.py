@@ -80,6 +80,8 @@ class TrainStep:
         self.donate = donate  # donate params/opt_state buffers (in-place HBM
         #                       update); turn off if callers reuse inputs
         self.target_interval = conf.get("target_interval", 0)
+        self.target_interval_aux = (conf.get("target_interval_aux", 0)
+                                    if conf.get("aux_critic", False) else 0)
         self._jit_cache: Dict[Tuple[bool, bool], Any] = {}
 
     def init_optimizer(self, params):
@@ -104,6 +106,20 @@ class TrainStep:
             params["critic_target"] = jax.tree_util.tree_map(
                 lambda tgt, src: jnp.where(do_copy, src, tgt),
                 params["critic_target"], params["critic"])
+
+        # Same periodic refresh for the auxiliary critic's target net, which
+        # lives inside the wm subtree (reference: the aux ActorCritic refreshes
+        # itself every target_interval_aux steps, a2c.py:76-79).
+        if self.target_interval_aux and "ac_aux" in params.get("wm", {}):
+            do_copy_aux = (step % self.target_interval_aux) == 0
+            params = dict(params)
+            wm = dict(params["wm"])
+            ac_aux = dict(wm["ac_aux"])
+            ac_aux["critic_target"] = jax.tree_util.tree_map(
+                lambda tgt, src: jnp.where(do_copy_aux, src, tgt),
+                ac_aux["critic_target"], ac_aux["critic"])
+            wm["ac_aux"] = ac_aux
+            params["wm"] = wm
 
         def loss_fn(p):
             losses, out_state, metrics, tensors, dream_tensors = \

@@ -46,7 +46,27 @@ def test_baseline_training_step(model_name):
         assert out_state.shape == (conf.batch_size, conf.deter_dim)
 
 
-def test_baseline_gradients_partition():
+@pytest.mark.parametrize("model_name", ["vae", "gru_vae", "transformer_vae"])
+def test_baseline_iwae_multisample(model_name):
+    """Baselines must run with iwae_samples > 1 (the trainer allocates a
+    B*I state and eval uses eval_samples; regression: (B,) reset mask vs
+    (B*I, D) state broadcast crash in GRUVAEWorldModel)."""
+    I = 3
+    conf = baseline_conf(model_name, iwae_samples=I)
+    model = WorldModelProbe(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    obs = add_action_next({k: jnp.asarray(v) for k, v in make_batch(conf).items()})
+    state = model.init_state(conf.batch_size * I)
+    losses, out_state, metrics, tensors, _ = model.training_step(
+        params, obs, state, jax.random.PRNGKey(1))
+    for k, v in losses.items():
+        assert np.isfinite(np.asarray(v)), k
+    if model_name == "gru_vae":
+        assert out_state.shape == (conf.batch_size * I, conf.deter_dim)
+        # image_pred path at I>1 too
+        _, _, _, tensors2, _ = model.training_step(
+            params, obs, state, jax.random.PRNGKey(2), do_image_pred=True)
+        assert "image_pred" in tensors2
     """loss_model only reaches wm; loss_probe only reaches probe."""
     conf = baseline_conf("vae")
     model = WorldModelProbe(conf)

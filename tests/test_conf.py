@@ -69,6 +69,22 @@ class TestCli:
                           config_dir=CONFIG_DIR)
         assert conf.n_steps == 123
 
+    def test_untyped_and_list_overrides(self):
+        """None-typed YAML keys must be coerced, not kept as raw strings, and
+        list syntax must yaml-parse instead of char-splitting."""
+        conf = parse_args(
+            ["--configs", "defaults",
+             "--reward_decoder_categorical", "[-10,-1,0,1,10]",
+             "--clip_rewards", "tanh",
+             "--offline_data_dir", "/tmp/data",
+             "--env_id", "Atari-Pong"],
+            config_dir=CONFIG_DIR)
+        assert conf.reward_decoder_categorical == (-10, -1, 0, 1, 10) or \
+            list(conf.reward_decoder_categorical) == [-10, -1, 0, 1, 10]
+        assert conf.clip_rewards == "tanh"
+        assert conf.offline_data_dir == "/tmp/data"
+        assert conf.env_id == "Atari-Pong"
+
 
 class TestConfObject:
     def test_immutable(self):

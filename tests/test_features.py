@@ -91,6 +91,69 @@ def test_aux_critic():
     assert "policy_value_aux" in metrics
 
 
+def test_aux_critic_shapes_world_model():
+    """The aux critic loss must backprop into WM features (its entire point,
+    reference: dreamer.py:345-358); switching it on changes the encoder/core
+    gradients of loss_model."""
+    conf = tiny(aux_critic=True)
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    obs = {k: jnp.asarray(v) for k, v in make_batch(conf).items()}
+    state = model.init_state(conf.batch_size)
+
+    def wm_grads(weight):
+        m = Dreamer(tiny(aux_critic=True, aux_critic_weight=weight))
+
+        def loss_fn(p):
+            losses, *_ = m.training_step(p, obs, state, jax.random.PRNGKey(1))
+            return losses["loss_model"]
+        g = jax.grad(loss_fn)(params)
+        return np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(g["wm"]["core"])])
+
+    g0, g1 = wm_grads(0.0), wm_grads(1.0)
+    assert not np.allclose(g0, g1), \
+        "aux critic loss does not reach the world model"
+    # ...but it must never touch the aux target net.
+    def loss_fn(p):
+        losses, *_ = model.training_step(p, obs, state, jax.random.PRNGKey(1))
+        return losses["loss_model"]
+    g = jax.grad(loss_fn)(params)
+    tgt = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)),
+        g["wm"]["ac_aux"]["critic_target"], 0.0))
+    assert tgt == 0.0
+
+
+def test_aux_critic_target_refresh():
+    """TrainStep refreshes wm/ac_aux/critic_target every target_interval_aux
+    steps (reference: the aux AC self-refreshes, a2c.py:76-79)."""
+    from pydreamer_tpu.training.train_step import TrainStep
+    conf = tiny(aux_critic=True, target_interval=1000, target_interval_aux=3)
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    ts = TrainStep(model, conf, donate=False)
+    opt_state = ts.init_optimizer(params)
+    obs = {k: jnp.asarray(v) for k, v in make_batch(conf).items()}
+    state = model.init_state(conf.batch_size)
+
+    def flat(v):
+        return np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree_util.tree_leaves(v)])
+
+    p, o = params, opt_state
+    for i in (1, 2):
+        p, o, _, _, _, _ = ts(p, o, obs, state, i, jax.random.PRNGKey(i))
+    # aux critic drifted away from its target
+    assert not np.allclose(flat(p["wm"]["ac_aux"]["critic"]),
+                           flat(p["wm"]["ac_aux"]["critic_target"]))
+    critic_before = flat(p["wm"]["ac_aux"]["critic"])
+    # step 3 (3 % 3 == 0): target <- critic BEFORE the update
+    p, o, _, _, _, _ = ts(p, o, obs, state, 3, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(flat(p["wm"]["ac_aux"]["critic_target"]),
+                               critic_before, rtol=1e-6)
+
+
 def test_iwae_multisample_bound():
     """IWAE bound with I=4 should be <= single-sample ELBO (tighter)."""
     conf = tiny(iwae_samples=4)

@@ -97,8 +97,13 @@ def test_gradient_routing(setup):
 
 
 def test_dynamics_actor_grad():
+    # entropy=0 so the ONLY gradient path into the actor is the dynamics
+    # chain: loss_actor = -value_target -> critic_target(features) ->
+    # imagined states -> rsampled actions -> actor params. This is the
+    # documented fix over the reference (which detaches dream tensors and
+    # thereby cuts this path, reference: dreamer.py:154-157).
     conf = make_conf(actor_grad="dynamics", actor_dist="normal_tanh",
-                     stoch_discrete=0)
+                     stoch_discrete=0, entropy=0.0)
     model = Dreamer(conf)
     params = model.init(jax.random.PRNGKey(0))
     obs = _tree_to_jnp(make_batch(conf))
@@ -109,12 +114,12 @@ def test_dynamics_actor_grad():
         return losses["loss_actor"]
 
     g = jax.grad(loss_fn)(params)
-    actor_g = jax.tree_util.tree_reduce(
-        lambda a, x: a + jnp.sum(jnp.abs(x)), g["actor"], 0.0)
-    wm_g = jax.tree_util.tree_reduce(
-        lambda a, x: a + jnp.sum(jnp.abs(x)), g["wm"], 0.0)
-    assert float(actor_g) > 0      # dynamics gradients reach the actor
-    assert float(wm_g) == 0        # but never the frozen world model
+    norms = {k: float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), v, 0.0)) for k, v in g.items()}
+    assert norms["actor"] > 0          # value gradients reach the actor
+    assert norms["wm"] == 0            # but never the frozen world model
+    assert norms["critic"] == 0        # nor the critic
+    assert norms["critic_target"] == 0  # nor the frozen target net (routing)
 
 
 def test_inference_step(setup):
