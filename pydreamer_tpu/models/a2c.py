@@ -47,8 +47,12 @@ def gae_advantage(advantage: jax.Array, terminal1: jax.Array,
         agae = adv + lambda_ * gamma * (1.0 - term) * agae_next
         return agae, agae
 
+    # Fully unrolled: H is small (15) and the body is a handful of VPU ops,
+    # so the loop overhead dwarfs the work; unrolling lets XLA fuse all H
+    # steps into one kernel.
     _, agae = jax.lax.scan(step, jnp.zeros_like(advantage[-1]),
-                           (advantage, terminal1), reverse=True)
+                           (advantage, terminal1), reverse=True,
+                           unroll=advantage.shape[0])
     return agae
 
 

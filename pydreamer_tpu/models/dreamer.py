@@ -128,7 +128,8 @@ class WorldModel:
             deter_dim=conf.deter_dim, stoch_dim=conf.stoch_dim,
             stoch_discrete=conf.stoch_discrete, hidden_dim=conf.hidden_dim,
             gru_layers=conf.gru_layers, gru_type=conf.gru_type,
-            layer_norm=conf.layer_norm, dtype=self.dtype)
+            layer_norm=conf.layer_norm, dtype=self.dtype,
+            scan_unroll=int(conf.get("scan_unroll", 1)))
 
         if conf.aux_critic:
             self.ac_aux: Optional[ActorCritic] = ActorCritic(
@@ -340,7 +341,9 @@ class Dreamer:
                 method=RSSMCore.prior_step)
             return new_state, (feature, action)
 
-        last_state, (features, actions) = jax.lax.scan(step, in_state, keys)
+        last_state, (features, actions) = jax.lax.scan(
+            step, in_state, keys,
+            unroll=min(int(self.conf.get("scan_unroll", 1)), imag_horizon))
         features = jnp.concatenate([features, to_feature(*last_state)[None]], 0)
 
         rewards, terminals = self.wm.decoder.apply(

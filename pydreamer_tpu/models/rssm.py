@@ -149,6 +149,9 @@ class RSSMCore(nn.Module):
     gru_type: str = "gru"
     layer_norm: bool = True
     dtype: Any = jnp.float32
+    scan_unroll: int = 1  # lax.scan unroll factor: trades compile time /
+    #                       code size for less per-iteration loop overhead
+    #                       and cross-iteration op pipelining on TPU
 
     def setup(self):
         self.cell = RSSMCell(
@@ -188,7 +191,8 @@ class RSSMCore(nn.Module):
         scan = nn.scan(scan_fn,
                        variable_broadcast="params",
                        split_rngs={"params": False},
-                       in_axes=0, out_axes=0)
+                       in_axes=0, out_axes=0,
+                       unroll=self.scan_unroll)
         (h_last, z_last), (posts, states_h, samples) = scan(
             self.cell, in_state, (embeds, actions, reset_masks, keys))
 

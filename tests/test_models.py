@@ -147,3 +147,17 @@ def test_probe_map():
     assert np.isfinite(np.asarray(losses["loss_probe"]))
     assert "acc_map" in metrics
     assert 0.0 <= float(metrics["acc_map"]) <= 1.0
+
+
+def test_scan_unroll_same_math(setup):
+    """scan_unroll is a pure perf knob: identical losses for unroll 1 vs 4."""
+    conf, model, params, obs, state = setup
+    conf4 = make_conf(scan_unroll=4)
+    model4 = Dreamer(conf4)
+    key = jax.random.PRNGKey(7)
+    losses1, out1, _, _, _ = model.training_step(params, obs, state, key)
+    losses4, out4, _, _, _ = model4.training_step(params, obs, state, key)
+    for k in losses1:
+        np.testing.assert_allclose(
+            np.asarray(losses1[k]), np.asarray(losses4[k]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out4[0]), rtol=1e-5, atol=1e-6)
