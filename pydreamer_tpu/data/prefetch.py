@@ -35,26 +35,34 @@ class ParallelLoader:
     (with its own RNG seed). Yields ``(batch, worker_id)`` tuples round-robin
     as they become ready. ``num_workers=0`` runs inline on the caller thread
     (the reference's ``data_workers: 0`` debug mode).
+
+    ``strict_order=True`` yields workers in deterministic round-robin order
+    (0, 1, ..., N-1, 0, ...) instead of arrival order. Required for
+    multi-host SPMD training: every host must pair the SAME stream id with
+    the same global step, or the per-stream TBTT states desync across the
+    batch's host shards.
     """
 
     def __init__(self,
                  make_dataset: Callable[[int], Iterator[Dict[str, np.ndarray]]],
                  num_workers: int = 0,
-                 queue_size: int = 4):
+                 queue_size: int = 4,
+                 strict_order: bool = False):
         self.make_dataset = make_dataset
         self.num_workers = num_workers
         self.queue_size = queue_size
+        self.strict_order = strict_order
         self._threads = []
-        self._queue: Optional[queue.Queue] = None
+        self._queues = []
         self._stop = threading.Event()
 
-    def _worker(self, worker_id: int):
+    def _worker(self, worker_id: int, q: queue.Queue):
         try:
             it = iter(self.make_dataset(worker_id))
             for batch in it:
                 while not self._stop.is_set():
                     try:
-                        self._queue.put((batch, worker_id), timeout=1.0)
+                        q.put((batch, worker_id), timeout=1.0)
                         break
                     except queue.Full:
                         continue
@@ -62,25 +70,34 @@ class ParallelLoader:
                     return
         except Exception:
             logger.exception("Data worker %d crashed", worker_id)
-            self._queue.put((None, worker_id))  # poison pill -> raise in main
+            q.put((None, worker_id))  # poison pill -> raise in main
 
     def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
         if self.num_workers == 0:
             for batch in iter(self.make_dataset(0)):
                 yield batch, 0
             return
-        self._queue = queue.Queue(maxsize=self.queue_size)
         self._stop.clear()
+        if self.strict_order:
+            # One queue per worker; consume round-robin.
+            self._queues = [queue.Queue(maxsize=max(self.queue_size // self.num_workers, 1))
+                            for _ in range(self.num_workers)]
+        else:
+            # One shared queue; consume in arrival order.
+            self._queues = [queue.Queue(maxsize=self.queue_size)] * self.num_workers
         self._threads = [
-            threading.Thread(target=self._worker, args=(i,), daemon=True,
-                             name=f"data-worker-{i}")
+            threading.Thread(target=self._worker, args=(i, self._queues[i]),
+                             daemon=True, name=f"data-worker-{i}")
             for i in range(self.num_workers)
         ]
         for t in self._threads:
             t.start()
         try:
+            i = 0
             while True:
-                batch, wid = self._queue.get()
+                batch, wid = self._queues[i % self.num_workers].get()
+                if self.strict_order:
+                    i += 1
                 if batch is None:
                     raise RuntimeError(f"Data worker {wid} crashed")
                 yield batch, wid
@@ -113,9 +130,11 @@ def prefetch_iterator(iterator: Iterator[Any],
                 lambda x: jax.device_put(x, sharding) if isinstance(
                     x, (np.ndarray, jax.Array)) else x, item)
         else:
+            # numpy only: jax.Arrays from the transform are already placed
+            # (possibly sharded/global) — re-putting would move them.
             item = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x) if isinstance(
-                    x, (np.ndarray, jax.Array)) else x, item)
+                lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+                item)
         return item
 
     def producer():

@@ -99,6 +99,69 @@ class ActorCritic:
             "critic_target": jax.tree_util.tree_map(jnp.copy, critic_params),
         }
 
+    def init_critic(self, key: jax.Array) -> Dict[str, Any]:
+        """Critic-only param tree, for the auxiliary critic (whose actor loss
+        is never used — only loss_critic reaches the world-model total,
+        reference: dreamer.py:345-358). Avoids carrying a frozen-by-zero-grad
+        actor MLP in the wm optimizer."""
+        x = jnp.zeros((1, self.in_dim))
+        critic_params = self.critic.init(key, x)
+        return {
+            "critic": critic_params,
+            "critic_target": jax.tree_util.tree_map(jnp.copy, critic_params),
+        }
+
+    def _critic_losses(self, params, features, rewards, terminals):
+        """Critic half of the loss: GAE targets from the frozen target net +
+        reality-weighted MSE regression.
+
+        Gradients must never reach the critic_target PARAMS (sg on the param
+        tree — the optimizer additionally labels the subtree frozen), but
+        they DO flow through the FEATURES: in dynamics mode that is the whole
+        policy-gradient path (loss_policy = -value_target -> features ->
+        dream -> actor). In reinforce mode the caller passes detached
+        features, so this is equivalent to the reference (a2c.py:88 on
+        pre-detached inputs).
+        """
+        reward1 = rewards[1:]        # (H,M)
+        terminal0 = terminals[:-1]
+        terminal1 = terminals[1:]
+        value_t = self.critic.apply(sg(params["critic_target"]), features)
+        value0t = value_t[:-1]
+        value1t = value_t[1:]
+        advantage = -value0t + reward1 + self.gamma * (1.0 - terminal1) * value1t
+        advantage_gae = gae_advantage(advantage, terminal1, self.gamma, self.lambda_)
+        value_target = advantage_gae + value0t
+
+        # reality_weight[i] = prod_{j<=i} (1-terminal[j]) — masks imagination
+        # that continued past a predicted episode end.
+        reality_weight = sg(jnp.cumprod(1.0 - terminal0, axis=0))
+
+        # Critic regression to detached GAE value target. Features are
+        # stop-gradiented unless this is an auxiliary critic meant to shape
+        # the world model (critic_features_grad).
+        feat_v = features if self.critic_features_grad else sg(features)
+        value = self.critic.apply(params["critic"], feat_v)
+        loss_critic = 0.5 * jnp.square(sg(value_target) - value[:-1])
+        loss_critic = (loss_critic * reality_weight).mean()
+        return (loss_critic, value, value_target, advantage, advantage_gae,
+                reality_weight)
+
+    def critic_training_step(self,
+                             params: Dict[str, Any],
+                             features: jax.Array,   # (J,M,F)
+                             rewards: jax.Array,    # (J,M)
+                             terminals: jax.Array,  # (J,M)
+                             ) -> Tuple[jax.Array, Dict, Dict]:
+        """Critic-only training step for the auxiliary critic on real data
+        (reference: dreamer.py:345-358 — only its critic loss is used)."""
+        loss_critic, value, *_ = self._critic_losses(
+            params, features, rewards, terminals)
+        metrics = dict(loss_critic=sg(loss_critic),
+                       policy_value_im=sg(value[:-1].mean()))
+        tensors = dict(value=sg(value))
+        return loss_critic, metrics, tensors
+
     def forward_actor(self, actor_params, features: jax.Array):
         y = self.actor.apply(actor_params, features).astype(jnp.float32)
         if self.actor_dist == "onehot":
@@ -127,35 +190,9 @@ class ActorCritic:
         # diagnostic tensors.
         del log_only
         reward1 = rewards[1:]        # (H,M)
-        terminal0 = terminals[:-1]
-        terminal1 = terminals[1:]
-
-        # Values from the frozen target net. Gradients must never reach the
-        # critic_target PARAMS (sg on the param tree — the optimizer
-        # additionally labels the subtree frozen), but they DO flow through
-        # the FEATURES: in dynamics mode that is the whole policy-gradient
-        # path (loss_policy = -value_target -> features -> dream -> actor).
-        # In reinforce mode the caller passes detached features, so this is
-        # equivalent to the reference (a2c.py:88 on pre-detached inputs).
-        value_t = self.critic.apply(sg(params["critic_target"]), features)
-        value0t = value_t[:-1]
-        value1t = value_t[1:]
-        advantage = -value0t + reward1 + self.gamma * (1.0 - terminal1) * value1t
-        advantage_gae = gae_advantage(advantage, terminal1, self.gamma, self.lambda_)
-        value_target = advantage_gae + value0t
-
-        # reality_weight[i] = prod_{j<=i} (1-terminal[j]) — masks imagination
-        # that continued past a predicted episode end.
-        reality_weight = sg(jnp.cumprod(1.0 - terminal0, axis=0))
-
-        # Critic regression to detached GAE value target. Features are
-        # stop-gradiented unless this is an auxiliary critic meant to shape
-        # the world model (critic_features_grad).
-        feat_v = features if self.critic_features_grad else sg(features)
-        value = self.critic.apply(params["critic"], feat_v)
+        (loss_critic, value, value_target, advantage, advantage_gae,
+         reality_weight) = self._critic_losses(params, features, rewards, terminals)
         value0 = value[:-1]
-        loss_critic = 0.5 * jnp.square(sg(value_target) - value0)
-        loss_critic = (loss_critic * reality_weight).mean()
 
         # Actor loss.
         if self.actor_grad == "reinforce":

@@ -132,6 +132,9 @@ class WorldModel:
             scan_unroll=int(conf.get("scan_unroll", 1)))
 
         if conf.aux_critic:
+            # Critic-only: the aux head's sole output is loss_critic, so no
+            # actor params are created (init_critic) — the wm optimizer
+            # carries no frozen-by-zero-grad actor MLP.
             self.ac_aux: Optional[ActorCritic] = ActorCritic(
                 in_dim=self.features_dim, out_actions=conf.action_dim,
                 layer_norm=conf.layer_norm, gamma=conf.gamma_aux,
@@ -159,7 +162,7 @@ class WorldModel:
                 k4, jnp.zeros((2, 2, 1, self.features_dim)), obs),
         }
         if self.ac_aux is not None:
-            params["ac_aux"] = self.ac_aux.init(k5)
+            params["ac_aux"] = self.ac_aux.init_critic(k5)
         return params
 
     def init_state(self, batch_size: int):
@@ -218,9 +221,8 @@ class WorldModel:
         # Auxiliary critic on real data (reference: dreamer.py:345-358).
         if self.ac_aux is not None:
             features_tb = features[:, :, 0]
-            (_, loss_critic_aux), metrics_ac, tensors_ac = self.ac_aux.training_step(
-                params["ac_aux"], features_tb, obs["action"][1:],
-                obs["reward"], obs["terminal"])
+            loss_critic_aux, metrics_ac, tensors_ac = self.ac_aux.critic_training_step(
+                params["ac_aux"], features_tb, obs["reward"], obs["terminal"])
             metrics.update(loss_critic_aux=metrics_ac["loss_critic"],
                            policy_value_aux=metrics_ac["policy_value_im"])
             tensors.update(policy_value_aux=tensors_ac["value"])

@@ -16,9 +16,13 @@ scale-out is one SPMD learner over a ``jax.sharding.Mesh``:
     scaling-book recipe (annotate shardings, let XLA insert collectives)
 
 Multi-host: the same code runs under ``jax.distributed.initialize``; each
-host feeds its local shard via ``jax.make_array_from_process_local_data``
-(see ``DistributedContext.shard_host_batch``), keeping the reference's
-per-host actor/replay decoupling.
+host feeds its local (T, B_local, ...) shard via
+``jax.make_array_from_process_local_data`` (``batch_transform(multihost=
+True)``), params/optimizer/TBTT state are initialized as global SPMD
+computations (``init_params`` / ``init_opt_state`` / ``init_tbtt_state``),
+and device->host fetches go through ``fetch`` (all-gather collective for
+non-replicated leaves). This keeps the reference's per-host actor/replay
+decoupling (SURVEY §5.8) while the gradient psum rides ICI/DCN.
 """
 
 from __future__ import annotations
@@ -131,18 +135,82 @@ class DistributedContext:
         ss = state_sharding(self.mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, ss), state)
 
-    def batch_transform(self):
-        """Transform for prefetch_iterator: shard (batch, wid) tuples."""
+    # -- multi-host-safe initialization ------------------------------------
+    # These run the init as a GLOBAL jitted computation with out_shardings,
+    # which works identically with 1 or N processes (device_put from host
+    # numpy cannot build cross-process arrays).
+
+    def init_params(self, init_fn, key):
+        """params = init_fn(key), born with their mesh shardings."""
+        shapes = jax.eval_shape(init_fn, key)
+        pshard = param_shardings(shapes, self.mesh, self.tp_min_size)
+        return jax.jit(init_fn, out_shardings=pshard)(key)
+
+    def init_opt_state(self, opt_init, params):
+        """opt_state = opt_init(params); moments mirror the param shardings
+        (matched by shape), everything else replicated."""
+        shapes = jax.eval_shape(opt_init, params)
+        pshard = param_shardings(params, self.mesh, self.tp_min_size)
+        rep = replicated(self.mesh)
+        shard_by_shape: Dict[tuple, NamedSharding] = {}
+        for leaf, s in zip(jax.tree_util.tree_leaves(params),
+                           jax.tree_util.tree_leaves(pshard)):
+            shard_by_shape.setdefault(tuple(leaf.shape), s)
+        oshard = jax.tree_util.tree_map(
+            lambda x: shard_by_shape.get(tuple(x.shape), rep)
+            if hasattr(x, "shape") else rep, shapes)
+        return jax.jit(opt_init, out_shardings=oshard)(params)
+
+    def place_like(self, host_tree, like_tree):
+        """Put host-numpy leaves (e.g. a restored checkpoint) back on the
+        mesh with the shardings of ``like_tree``. Works multi-host: each
+        process supplies the requested index slices from its full host copy.
+        """
+        def put(x, like):
+            if not hasattr(like, "sharding"):
+                return x
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, like.sharding, lambda idx: arr[idx])
+        return jax.tree_util.tree_map(put, host_tree, like_tree)
+
+    def init_tbtt_state(self, init_fn):
+        """Global (B, ...) TBTT state sharded over 'data' (init_fn: () -> state)."""
+        return jax.jit(init_fn, out_shardings=state_sharding(self.mesh))()
+
+    def fetch(self, tree):
+        """Device -> host numpy fetch that works for multi-host arrays.
+
+        Leaves that are not fully replicated are all-gathered first; that is
+        a COLLECTIVE, so under multi-host every process must call fetch(),
+        even if only process 0 consumes the result.
+        """
+        rep = replicated(self.mesh)
+        leaves = jax.tree_util.tree_leaves(tree)
+        if any(isinstance(x, jax.Array) and not x.is_fully_replicated
+               for x in leaves):
+            tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+        return jax.device_get(tree)
+
+    def batch_transform(self, multihost: bool = False):
+        """Transform for prefetch_iterator: shard (batch, wid) tuples.
+
+        multihost: every host passes only its LOCAL (T, B_local, ...) slice;
+        ``jax.make_array_from_process_local_data`` assembles the global
+        (T, B, ...) array sharded over 'data' without any host materializing
+        the full batch (SURVEY §2.15's per-worker streams at pod scale).
+        """
         bs = batch_sharding(self.mesh)
+        if multihost:
+            from .multihost import host_batch_to_global
+
+            def tf_mh(item):
+                batch, wid = item
+                return host_batch_to_global(batch, bs), wid
+            return tf_mh
 
         def tf(item):
             batch, wid = item
             batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
             return batch, wid
         return tf
-
-    def shard_host_batch(self, global_shape, local_batch):
-        """Multi-host: assemble a global array from this host's local shard."""
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                batch_sharding(self.mesh), x), local_batch)

@@ -35,25 +35,30 @@ def maybe_initialize_distributed() -> bool:
     vars, or Cloud TPU pod metadata (initialize() with no args). Returns
     True if distributed mode is active.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: must run before anything touches a JAX backend —
+    # jax.process_count()/jax.devices() initialize the platform, after which
+    # jax.distributed.initialize() is an error. So the env sniffing comes
+    # first, and process_count is only consulted as the no-env fallback.
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
+    already = jax._src.distributed.global_state.client is not None
     if coord and nproc:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        if not already:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
         logger.info("Distributed: process %d/%d", jax.process_index(),
                     jax.process_count())
         return True
     if os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0:
         # Cloud TPU pod slice: metadata provides everything.
-        jax.distributed.initialize()
+        if not already:
+            jax.distributed.initialize()
         logger.info("Distributed (TPU metadata): process %d/%d",
                     jax.process_index(), jax.process_count())
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def is_main_process() -> bool:

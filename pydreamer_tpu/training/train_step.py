@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.functions import global_norm
@@ -84,8 +85,13 @@ class TrainStep:
                                     if conf.get("aux_critic", False) else 0)
         self._jit_cache: Dict[Tuple[bool, bool], Any] = {}
 
-    def init_optimizer(self, params):
+    def init_optimizer(self, params, ctx=None):
+        """Build the optimizer and its state. With a DistributedContext the
+        state is initialized as a global SPMD computation, moments sharded
+        like their params (required under multi-host)."""
         self.optimizer = make_optimizer(self.conf, params)
+        if ctx is not None:
+            return ctx.init_opt_state(self.optimizer.init, params)
         return self.optimizer.init(params)
 
     # -- the step ---------------------------------------------------------
@@ -169,5 +175,13 @@ class TrainStep:
 
     def __call__(self, params, opt_state, obs, in_state, step, key,
                  do_image_pred=False, do_dream_tensors=False):
+        # step/key go in as host values (np), not committed device arrays:
+        # host values are valid inputs for single- AND multi-process jits
+        # (they are implicitly replicated), and the dtype is pinned so the
+        # step count never retraces.
+        if not isinstance(step, jax.Array):
+            step = np.int32(step)
+        if not isinstance(key, jax.Array):
+            key = np.asarray(key)
         return self.jitted(do_image_pred, do_dream_tensors)(
-            params, opt_state, obs, in_state, jnp.asarray(step), key)
+            params, opt_state, obs, in_state, step, key)

@@ -55,10 +55,26 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     if conf.get("platform"):
         # debug preset runs the learner on host CPU (reference `device: cpu`)
         jax.config.update("jax_platforms", str(conf.platform))
-    from ..parallel.multihost import maybe_initialize_distributed
+    from ..parallel.multihost import (is_main_process, local_batch_size,
+                                      maybe_initialize_distributed)
     maybe_initialize_distributed()
+    multihost = jax.process_count() > 1
+    main_process = is_main_process()
+    if multihost:
+        # Multi-host SPMD: every host runs this same function; run_dir must
+        # be shared storage (the reference's artifact-store contract).
+        logger.info("Multi-host learner: process %d/%d",
+                    jax.process_index(), jax.process_count())
     run_ = init_run(run_dir=run_dir)
     artifact_dir = run_.dir
+
+    def global_sum(x) -> int:
+        """Sum a host-local count over all learner processes (collective —
+        every process must reach this call at the same point)."""
+        if not multihost:
+            return int(x)
+        from jax.experimental import multihost_utils
+        return int(np.sum(multihost_utils.process_allgather(np.asarray(x))))
 
     # Data directories (reference: train.py:34-60).
     if conf.offline_data_dir:
@@ -81,75 +97,110 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
         ]
     test_dirs = to_list(conf.offline_test_dir) if conf.offline_test_dir else eval_dirs
 
-    # Wait for prefill (reference: train.py:62-82).
+    # Wait for prefill (reference: train.py:62-82). Each host waits for its
+    # OWN replay shard (its local generators feed it); the stop decision
+    # below is on the globally summed count so all hosts agree.
     if online_data:
+        prefill_target = conf.generator_prefill_steps // (
+            jax.process_count() if multihost else 1)
         while True:
             repo = make_repository(input_dirs)
             _, steps_now, _ = repo.count_steps()
-            run_.log_metrics({"train/data_steps": steps_now,
-                              "train/data_env_steps": steps_now * conf.env_action_repeat},
-                             step=0)
-            if steps_now < conf.generator_prefill_steps:
+            if main_process:
+                run_.log_metrics(
+                    {"train/data_steps": steps_now,
+                     "train/data_env_steps": steps_now * conf.env_action_repeat},
+                    step=0)
+            if steps_now < prefill_target:
                 logger.debug("Waiting for prefill: %d/%d steps...",
-                             steps_now, conf.generator_prefill_steps)
+                             steps_now, prefill_target)
                 time.sleep(10)
             else:
                 logger.info("Done prefilling: %d/%d steps.",
-                            steps_now, conf.generator_prefill_steps)
+                            steps_now, prefill_target)
                 break
-        if steps_now * conf.env_action_repeat >= conf.n_env_steps:
+        if global_sum(steps_now) * conf.env_action_repeat >= conf.n_env_steps:
             logger.info("Finished %d env steps.", conf.n_env_steps)
             return
 
     preprocess = Preprocessor.from_conf(conf)
 
-    # Model + optimizer.
-    model = make_model(conf)
-    # One jitted init = one XLA compile instead of hundreds of eager ops
-    # (matters on TPU images where compiles go through a remote service).
-    params = jax.jit(model.init)(jax.random.PRNGKey(conf.get("seed", 0)))
-    trainstep = TrainStep(model, conf)
-    opt_state = trainstep.init_optimizer(params)
-    run_.log_text(_describe_params(params), "architecture.txt")
-
     # SPMD: with >1 visible device, shard batches over the 'data' mesh axis
     # and replicate (+tensor-shard) params; GSPMD partitions the train step.
+    # Multi-host ALWAYS goes through the mesh (the global batch cannot be
+    # built otherwise).
     ctx = None
-    if jax.device_count() > 1 and conf.get("mesh_data", 0) != 1:
+    if multihost or (jax.device_count() > 1 and conf.get("mesh_data", 0) != 1):
         from ..parallel import DistributedContext
         ctx = DistributedContext(conf)
         assert conf.batch_size % ctx.n_data == 0, \
             f"batch_size {conf.batch_size} not divisible by data mesh {ctx.n_data}"
-        params = ctx.place_params(params)
-        opt_state = ctx.place_opt_state(opt_state, params)
+
+    # Model + optimizer. One jitted init = one XLA compile instead of
+    # hundreds of eager ops (matters on TPU images where compiles go through
+    # a remote service). Under a mesh, init is a global SPMD computation so
+    # params are born with their shardings (works with 1 or N processes).
+    model = make_model(conf)
+    trainstep = TrainStep(model, conf)
+    # numpy key: host values are implicitly replicated across processes; a
+    # committed local-device key would be an invalid multi-host jit input.
+    init_key = np.asarray(jax.random.PRNGKey(conf.get("seed", 0)))
+    if ctx is not None:
+        params = ctx.init_params(model.init, init_key)
+        opt_state = trainstep.init_optimizer(params, ctx)
+    else:
+        params = jax.jit(model.init)(init_key)
+        opt_state = trainstep.init_optimizer(params)
+    if main_process:
+        run_.log_text(_describe_params(params), "architecture.txt")
+
+    def fetch_all(tree):
+        """Device->host for logging/checkpointing. Under multi-host this is
+        a collective (all-gather of sharded leaves): EVERY process calls it,
+        then only process 0 writes."""
+        if ctx is not None and multihost:
+            return ctx.fetch(tree)
+        return tree
 
     # Resume (reference: train.py:114-116).
     steps = 0
     ckpt = run_.load_checkpoint(target={"params": params, "opt_state": opt_state})
     if ckpt is not None:
         state_dict, steps = ckpt
-        params, opt_state = state_dict["params"], state_dict["opt_state"]
+        if ctx is not None:
+            # Restored leaves are host numpy; put them back on the mesh with
+            # the shardings the fresh init produced.
+            params = ctx.place_like(state_dict["params"], params)
+            opt_state = ctx.place_like(state_dict["opt_state"], opt_state)
+        else:
+            params, opt_state = state_dict["params"], state_dict["opt_state"]
         logger.info("Loaded model from checkpoint epoch %d", steps)
 
     # Input pipeline: N worker threads, each an independent TBTT stream.
+    # Multi-host: each host streams B/n_processes slots from its local replay
+    # shard; stream ids must align with the same global step on every host
+    # (strict_order) so per-stream TBTT state shards stay consistent.
+    local_b = local_batch_size(conf.batch_size) if multihost else conf.batch_size
+
     def make_stream(worker_id: int):
         data = SequentialDataset(
-            make_repository(input_dirs), conf.batch_length, conf.batch_size,
+            make_repository(input_dirs), conf.batch_length, local_b,
             skip_first=True,
             reload_interval=120 if online_data else 0,
             buffer_size=conf.buffer_size if online_data else conf.buffer_size_offline,
             reset_interval=conf.reset_interval,
             allow_mid_reset=conf.allow_mid_reset,
-            seed=conf.get("seed", 0) * 1000 + worker_id)
+            seed=(conf.get("seed", 0) * 1000 + worker_id
+                  + jax.process_index() * 7919))
         return preprocess(iter(data))
 
-    loader = ParallelLoader(make_stream, num_workers=conf.data_workers)
+    loader = ParallelLoader(make_stream, num_workers=conf.data_workers,
+                            strict_order=multihost)
     data_iter = prefetch_iterator(
-        iter(loader), size=2,
-        transform=ctx.batch_transform() if ctx is not None else None)
+        iter(loader), size=2, transform=_make_input_transform(ctx, multihost))
 
     states: Dict[int, object] = {}  # TBTT state per data worker (train.py:168-178)
-    rng = jax.random.PRNGKey(conf.get("seed", 0) + 1)
+    rng = np.asarray(jax.random.PRNGKey(conf.get("seed", 0) + 1))
     metrics_agg = defaultdict(list)
     metrics_max = defaultdict(list)
     last_time = time.time()
@@ -177,14 +228,16 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                 steps % conf.log_interval >= int(conf.log_interval * 0.9))
 
             with Timer("data"):
-                batch, wid = next(data_iter)
+                batch, wid, data_stats = next(data_iter)
 
             with Timer("step"):
                 state = states.get(wid)
                 if state is None:
-                    state = model.init_state(conf.batch_size * conf.iwae_samples)
                     if ctx is not None:
-                        state = ctx.place_state(state)
+                        state = ctx.init_tbtt_state(
+                            lambda: model.init_state(conf.batch_size * conf.iwae_samples))
+                    else:
+                        state = model.init_state(conf.batch_size * conf.iwae_samples)
                 # rng is passed as-is every step; the jitted step fold_ins the
                 # step index on-device (no host-side split in the hot loop).
                 params, opt_state, new_state, metrics, tensors, dream_tensors = \
@@ -199,26 +252,33 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                 # so the fetch overlaps this step's device work.
                 if prev_metrics is not None:
                     _aggregate_metrics(prev_metrics, metrics_agg, metrics_max)
-                data_metrics = {
-                    "data_reward": float(np.mean(np.asarray(batch["reward"]))),
-                    "data_reset": float(np.mean(np.asarray(batch["reset"]))),
-                    "data_terminal": float(np.mean(np.asarray(batch["terminal"]))),
-                }
-                metrics_max["data_reward"].append(float(np.max(np.asarray(batch["reward"]))))
-                for k, v in data_metrics.items():
-                    metrics_agg[k].append(v)
+                # Data stats were computed host-side in the input transform
+                # (this host's local shard under multi-host).
+                for k, v in data_stats.items():
+                    if k.endswith("_max"):
+                        metrics_max[k[:-4]].append(v)
+                    else:
+                        metrics_agg[k].append(v)
                 prev_metrics = metrics
 
-                if will_log_batch:
-                    log_batch_npz(run_, batch, tensors, f"{steps:07}.npz",
-                                  subdir="d2_wm_closed")
-                if dream_tensors:
-                    log_batch_npz(run_, batch, dream_tensors, f"{steps:07}.npz",
-                                  subdir="d2_wm_dream")
+                if will_log_batch or dream_tensors:
+                    # Under multi-host, fetch is a collective -> every
+                    # process joins; only process 0 writes.
+                    fetched = fetch_all({"batch": batch, "tensors": tensors,
+                                         "dream": dream_tensors})
+                    if main_process and will_log_batch:
+                        log_batch_npz(run_, fetched["batch"], fetched["tensors"],
+                                      f"{steps:07}.npz", subdir="d2_wm_closed")
+                    if main_process and dream_tensors:
+                        log_batch_npz(run_, fetched["batch"], fetched["dream"],
+                                      f"{steps:07}.npz", subdir="d2_wm_dream")
 
                 # Buffer size recount + env-step stop (train.py:225-231).
+                # Counts are summed over hosts so the stop decision is
+                # unanimous (a lone host returning would deadlock the rest).
                 if online_data and steps % conf.logbatch_interval == 0:
-                    _, steps_now, _ = make_repository(input_dirs).count_steps()
+                    _, steps_local, _ = make_repository(input_dirs).count_steps()
+                    steps_now = global_sum(steps_local)
                     metrics_agg["data_steps"].append(steps_now)
                     metrics_agg["data_env_steps"].append(steps_now * conf.env_action_repeat)
                     if steps_now * conf.env_action_repeat >= conf.n_env_steps:
@@ -242,60 +302,74 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                         out.get("train/loss_critic", 0),
                         out.get("train/policy_value", 0),
                         out.get("train/policy_entropy", 0), out["train/fps"])
-                    if steps > conf.log_interval:  # first window skews the axes
+                    if main_process and steps > conf.log_interval:
+                        # first window skews the axes (reference: train.py:255)
                         run_.log_metrics(out, step=steps)
                     metrics_agg = defaultdict(list)
                     metrics_max = defaultdict(list)
 
                 if steps % conf.save_interval == 0:
-                    run_.save_checkpoint({"params": params, "opt_state": opt_state}, steps)
-                    logger.info("Saved model checkpoint %d", steps)
+                    ckpt_data = fetch_all({"params": params, "opt_state": opt_state})
+                    if main_process:
+                        run_.save_checkpoint(ckpt_data, steps)
+                        logger.info("Saved model checkpoint %d", steps)
 
                 if steps >= n_steps:
                     logger.info("Finished %d grad steps.", n_steps)
-                    run_.save_checkpoint({"params": params, "opt_state": opt_state}, steps)
+                    ckpt_data = fetch_all({"params": params, "opt_state": opt_state})
+                    if main_process:
+                        run_.save_checkpoint(ckpt_data, steps)
                     loader.close()
                     return
 
             with Timer("eval"):
                 if conf.eval_interval and steps % conf.eval_interval == 0:
+                    # Multi-host: eval runs on process 0 only, on a host
+                    # copy of the (replicated) params; the fetch itself is a
+                    # collective so all processes join it first.
+                    eval_params = fetch_all(params) if multihost else params
                     try:
-                        # Test = train-like settings with state resets.
-                        data_test = SequentialDataset(
-                            make_repository(test_dirs), conf.batch_length,
-                            conf.test_batch_size, skip_first=False,
-                            reset_interval=conf.reset_interval)
-                        evaluate("test", steps, model, params,
-                                 preprocess(iter(data_test)), run_,
-                                 conf.test_batches, conf.iwae_samples,
-                                 conf.keep_state, conf.test_save_size, conf)
-                        # Eval = state kept, multisampling-capable.
-                        data_eval = SequentialDataset(
-                            make_repository(eval_dirs), conf.batch_length,
-                            conf.eval_batch_size, skip_first=False)
-                        evaluate("eval", steps, model, params,
-                                 preprocess(iter(data_eval)), run_,
-                                 conf.eval_batches, conf.eval_samples,
-                                 True, conf.eval_save_size, conf)
+                        if main_process:
+                            _run_eval(conf, model, eval_params, preprocess,
+                                      test_dirs, eval_dirs, run_, steps)
                     except Exception as e:
                         # Benign when no eval data has been generated yet.
                         logger.warning("Evaluation failed: %r", e)
 
 
-_EVAL_STEP_CACHE: Dict = {}
+def _run_eval(conf, model, params, preprocess, test_dirs, eval_dirs, run_, steps):
+    """The two eval modes (reference: train.py:274-285): 'test' = train-like
+    with state resets; 'eval' = state kept, multisampling-capable."""
+    data_test = SequentialDataset(
+        make_repository(test_dirs), conf.batch_length,
+        conf.test_batch_size, skip_first=False,
+        reset_interval=conf.reset_interval)
+    evaluate("test", steps, model, params,
+             preprocess(iter(data_test)), run_,
+             conf.test_batches, conf.iwae_samples,
+             conf.keep_state, conf.test_save_size, conf)
+    data_eval = SequentialDataset(
+        make_repository(eval_dirs), conf.batch_length,
+        conf.eval_batch_size, skip_first=False)
+    evaluate("eval", steps, model, params,
+             preprocess(iter(data_eval)), run_,
+             conf.eval_batches, conf.eval_samples,
+             True, conf.eval_save_size, conf)
 
 
 def _get_eval_step(model, eval_samples: int):
     """Memoized jitted eval step — a fresh lambda per evaluate() call would
-    bust jax's compilation cache and recompile on every eval."""
-    key = (id(model), eval_samples)
-    if key not in _EVAL_STEP_CACHE:
-        _EVAL_STEP_CACHE[key] = jax.jit(
+    bust jax's compilation cache and recompile on every eval. The cache lives
+    on the model instance (not a global keyed by id(model), which could hand
+    a stale compiled step to a different model after id reuse)."""
+    cache = model.__dict__.setdefault("_eval_step_cache", {})
+    if eval_samples not in cache:
+        cache[eval_samples] = jax.jit(
             lambda p, o, s, k, ol, ip: model.training_step(
                 p, o, s, k, iwae_samples=eval_samples,
                 do_open_loop=ol, do_image_pred=ip),
             static_argnums=(4, 5))
-    return _EVAL_STEP_CACHE[key]
+    return cache[eval_samples]
 
 
 def evaluate(prefix: str, steps: int, model, params,
@@ -384,6 +458,28 @@ def evaluate(prefix: str, steps: int, model, params,
         run_.log_npz(npz_data, f"{steps:07}_r{r:.0f}.npz", subdir=f"d2_wm_closed_{prefix}")
     logger.info("Evaluation (%s): done in %.0f sec, recorded %d episodes",
                 prefix, time.time() - start_time, int(n_finished_episodes.sum()))
+
+
+def _make_input_transform(ctx, multihost: bool):
+    """Prefetch transform: compute host-side data stats on the (local) numpy
+    batch, then shard it for the step. Yields (batch, wid, stats) — the hot
+    loop must not touch batch values (under multi-host they are global
+    arrays whose remote shards are not addressable)."""
+    inner = ctx.batch_transform(multihost) if ctx is not None else None
+
+    def tf(item):
+        batch, wid = item
+        stats = {
+            "data_reward": float(np.mean(batch["reward"])),
+            "data_reward_max": float(np.max(batch["reward"])),
+            "data_reset": float(np.mean(batch["reset"])),
+            "data_terminal": float(np.mean(batch["terminal"])),
+        }
+        if inner is not None:
+            batch, wid = inner((batch, wid))
+        return batch, wid, stats
+
+    return tf
 
 
 def _aggregate_metrics(metrics, metrics_agg, metrics_max):
