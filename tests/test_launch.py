@@ -1,17 +1,25 @@
-"""Launcher unit tests: multi-node role selection + watchdog.
+"""Launcher tests: multi-node role selection, watchdog, and the full
+generator+learner topology end-to-end.
 
 Covers the TF_CONFIG chief/worker role mapping (reference: launch.py:181-210)
-without spawning any processes.
+and a bounded real launch() run (reference: launch.py:107-178).
 """
 
 import json
 import multiprocessing as mp
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
+import numpy as np
 import pytest
 
 from pydreamer_tpu.launch import (belongs_to_worker, check_subprocesses,
                                   get_worker_info)
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
 @pytest.fixture
@@ -82,3 +90,39 @@ class TestWatchdog:
         p = self._run(_exit_nonzero)
         with pytest.raises(RuntimeError, match="exitcode"):
             check_subprocesses([p])
+
+
+@pytest.mark.slow
+def test_full_topology_launch(tmp_path):
+    """The one e2e path users run: `python -m pydreamer_tpu.launch --configs
+    defaults gridworld debug`, bounded to a few grad steps. Asserts the full
+    process topology worked: generators wrote episodes, the learner wrote
+    metrics + a checkpoint, and everything (including the daemon generators
+    the reference would leave hanging) exited cleanly."""
+    run_dir = tmp_path / "run"
+    env = dict(os.environ, PYTHONPATH=str(REPO_ROOT))
+    # Don't inherit pytest's 8-virtual-device XLA_FLAGS: this test mimics the
+    # real single-machine CLI environment.
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pydreamer_tpu.launch",
+         "--configs", "defaults", "gridworld", "debug",
+         "--n_steps", "4", "--generator_prefill_steps", "300",
+         "--eval_interval", "0", "--save_interval", "3",
+         "--log_interval", "2", "--logbatch_interval", "1000",
+         "--run_dir", str(run_dir)],
+        env=env, cwd=str(REPO_ROOT), timeout=420,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    out = proc.stdout
+    assert proc.returncode == 0, f"launch failed:\n{out[-4000:]}"
+
+    # Generators collected episodes into the run's replay shard.
+    episodes = list((run_dir / "episodes" / "0").glob("*.npz"))
+    assert episodes, "generator wrote no episodes"
+    # Learner trained: metrics + checkpoint artifacts.
+    from pydreamer_tpu.tracking import Run
+    metrics = Run(run_dir).read_metrics()
+    trained = [m for m in metrics if "train/loss_model" in m]
+    assert trained and np.isfinite(trained[-1]["train/loss_model"])
+    assert (run_dir / "checkpoints" / "latest.ckpt").exists()
+    assert "Learner finished; shutting down generators." in out
