@@ -17,13 +17,13 @@ ActionRewardReset -> Collect.
 from __future__ import annotations
 
 from .base import Box, Discrete, Env, Space, Wrapper
-from .fake import CountingEnv, GridWorld
+from .fake import BanditEnv, CountingEnv, GridWorld
 from .wrappers import (ActionRewardResetWrapper, CollectWrapper, DictWrapper,
                        OneHotActionWrapper, RestartOnExceptionWrapper,
                        TimeLimitWrapper)
 
 __all__ = ["create_env", "Env", "Wrapper", "Space", "Discrete", "Box",
-           "CountingEnv", "GridWorld"]
+           "BanditEnv", "CountingEnv", "GridWorld"]
 
 
 def create_env(env_id: str, no_terminal: bool, env_time_limit: int,
@@ -39,6 +39,14 @@ def create_env(env_id: str, no_terminal: bool, env_time_limit: int,
 
     elif env_id.startswith("Counting-"):
         env = CountingEnv(episode_length=int(env_id.split("-")[1]), seed=worker_id)
+        env = DictWrapper(env)
+
+    elif env_id.startswith("Bandit-"):
+        # Bandit-3x8 => 3 actions, episode length 8
+        parts = env_id.split("-")[1].split("x")
+        env = BanditEnv(action_dim=int(parts[0]),
+                        episode_length=int(parts[1]) if len(parts) > 1 else 8,
+                        seed=worker_id)
         env = DictWrapper(env)
 
     elif env_id.startswith("MiniGrid-"):

@@ -20,7 +20,41 @@ import numpy as np
 
 from .base import Box, Discrete, Env
 
-__all__ = ["CountingEnv", "GridWorld"]
+__all__ = ["BanditEnv", "CountingEnv", "GridWorld"]
+
+
+class BanditEnv(Env):
+    """K-armed bandit: the minimal policy-learning benchmark.
+
+    Constant 1-dim vecobs; reward 1.0 every step the target action is taken,
+    0.0 otherwise; fixed episode length. Optimal return = episode_length.
+    The world model only has to learn reward(state, action) — so a correct
+    imagination + policy-gradient path lifts the return from episode_length/K
+    (random) to ~episode_length within a few hundred gradient steps; used by
+    tests/test_learning.py as the return-improvement canary.
+    """
+
+    def __init__(self, action_dim: int = 3, episode_length: int = 8,
+                 target: int = 1, seed: int = 0):
+        self.episode_length = episode_length
+        self.target = target % action_dim
+        self.action_space = Discrete(action_dim, seed=seed)
+        self.observation_space = Box(0.0, 1.0, (1,), np.float32)
+        self.t = 0
+
+    def _obs(self):
+        return {"vecobs": np.ones(1, np.float32)}
+
+    def reset(self):
+        self.t = 0
+        return self._obs()
+
+    def step(self, action):
+        action = int(np.argmax(action)) if np.ndim(action) > 0 else int(action)
+        self.t += 1
+        reward = 1.0 if action == self.target else 0.0
+        done = self.t >= self.episode_length
+        return self._obs(), reward, done, {}
 
 
 class CountingEnv(Env):

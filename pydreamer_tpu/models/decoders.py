@@ -172,6 +172,11 @@ class DenseNormalDecoder(nn.Module):
     hidden_layers: int = 2
     layer_norm: bool = True
     std: float = 0.3989422804
+    # vector_head: the target carries a trailing event axis even when
+    # out_dim == 1 (vecobs of size 1). The reference's vecobs head is always
+    # Independent(Normal, 1) (reference: decoders.py:330-340); scalar heads
+    # (reward) squeeze instead.
+    vector_head: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -179,7 +184,9 @@ class DenseNormalDecoder(nn.Module):
         y = MLP(self.out_dim, self.hidden_dim, self.hidden_layers,
                 self.layer_norm, dtype=self.dtype, name="model")(features)
         y = y.astype(jnp.float32)
-        if self.out_dim > 1:
+        if self.out_dim == 1 and self.vector_head:
+            y = y[..., None]  # undo MLP's out_dim==1 squeeze
+        if self.out_dim > 1 or self.vector_head:
             return DiagNormal(y, jnp.full_like(y, self.std), event_dims=1)
         return Normal(y, jnp.full_like(y, self.std))
 
@@ -271,6 +278,7 @@ class MultiDecoder(nn.Module):
         if self.vecobs_size:
             self.vecobs = DenseNormalDecoder(
                 self.features_dim, out_dim=self.vecobs_size, hidden_layers=4,
+                vector_head=True,
                 layer_norm=self.layer_norm, dtype=self.dtype)
         else:
             self.vecobs = None
