@@ -1,0 +1,201 @@
+"""End-to-end throughput benchmark: pipeline-fed learner + live generator.
+
+The headline bench.py number measures the fused device step with a constant
+preloaded batch (data cost = 0 by construction). This benchmark measures
+what a user actually gets (reference: README.md:90-95 publishes all three):
+
+  1. grad_steps_per_sec_pipeline — learner fed by the REAL input pipeline:
+     npz episode repository -> SequentialDataset TBTT windowing ->
+     ParallelLoader worker threads -> prefetch_iterator -> device.
+     Episodes are uint8 noise images (zlib worst case), so decode cost is an
+     overestimate vs. real Atari frames.
+  2. agent_steps_per_sec — one generator running the network policy
+     (jitted single-step inference on host CPU) concurrently with the
+     learner, exactly the launch.py topology.
+  3. train_every — agent steps per gradient step, the emergent data-reuse
+     ratio (reference: ~42 on a T4).
+
+Prints ONE JSON line with all three (plus the constant-batch number for
+comparison). Run on the TPU host: python bench_e2e.py [--quick]
+"""
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REF_GRAD_STEPS = 1.4     # reference T4 grad steps/s (BASELINE.md)
+REF_AGENT_STEPS = 60.0   # reference T4 agent steps/s, 1 worker (BASELINE.md)
+
+
+def populate_repository(dirpath: str, n_steps: int, image_size: int = 64,
+                        chunk: int = 1000, seed: int = 0):
+    """Synthetic Atari-shaped episodes: uint8 noise frames (worst-case zlib
+    decode), episodic resets every ~300 steps."""
+    from pydreamer_tpu.data import make_repository
+    rng = np.random.RandomState(seed)
+    repo = make_repository(dirpath)
+    ep = 0
+    for start in range(0, n_steps, chunk):
+        n = min(chunk, n_steps - start)
+        reset = np.zeros(n, bool)
+        reset[:: 300] = True
+        data = {
+            "image_t": rng.randint(0, 255, (image_size, image_size, 3, n),
+                                   np.uint8),  # HWCT on-disk layout
+            "action": np.eye(18, dtype=np.float32)[rng.randint(0, 18, n)],
+            "reward": (rng.rand(n) < 0.05).astype(np.float32),
+            "terminal": np.zeros(n, np.float32),
+            "reset": reset,
+        }
+        n_eps = int(reset.sum())
+        repo.save_data(data, ep, ep + n_eps - 1)
+        ep += n_eps
+    return repo
+
+
+def run_generator(run_dir: str, save_uri: str, conf_dict: dict, num_steps: int):
+    """Subprocess entry: network-policy generator against the checkpoint in
+    run_dir (the launch.py topology, generators pinned to host CPU)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PYDREAMER_RUN_DIR"] = run_dir
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from pydreamer_tpu import generator
+    from pydreamer_tpu.conf import Conf
+    generator.main(env_id="Grid-8x64", save_uri=save_uri,
+                   policy_main="network", num_steps=num_steps,
+                   env_time_limit=50, model_conf=Conf(conf_dict),
+                   log_metrics=False, steps_per_npz=500)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+
+    from __graft_entry__ import _make_batch, _make_conf
+    from pydreamer_tpu.data import (ParallelLoader, Preprocessor,
+                                    SequentialDataset, make_repository,
+                                    prefetch_iterator)
+    from pydreamer_tpu.models.dreamer import Dreamer
+    from pydreamer_tpu.training.train_step import TrainStep
+    from pydreamer_tpu.training.trainer import _make_input_transform
+
+    conf = _make_conf(tiny=False)
+    model = Dreamer(conf)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    trainstep = TrainStep(model, conf)
+    opt_state = trainstep.init_optimizer(params)
+    state = model.init_state(conf.batch_size * conf.iwae_samples)
+    rng = np.asarray(jax.random.PRNGKey(1))
+    step_fn = trainstep.jitted(False, False)
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    data_dir = str(Path(tmp) / "episodes")
+    n_data = 6_000 if quick else 20_000
+    t0 = time.perf_counter()
+    populate_repository(data_dir, n_data)
+    print(f"# populated {n_data} steps of noise episodes in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # --- 0. constant-batch reference (same as bench.py) -------------------
+    batch = _make_batch(conf)
+    n_warm, n_meas = (5, 20) if quick else (10, 50)
+    for i in range(n_warm):
+        params, opt_state, state, metrics, *_ = step_fn(
+            params, opt_state, batch, state, np.int32(i), rng)
+    float(metrics["loss_model"])
+    t0 = time.perf_counter()
+    for i in range(n_meas):
+        params, opt_state, state, metrics, *_ = step_fn(
+            params, opt_state, batch, state, np.int32(n_warm + i), rng)
+    float(metrics["loss_model"])
+    sps_const = n_meas / (time.perf_counter() - t0)
+
+    # --- 1. pipeline-fed learner ------------------------------------------
+    preprocess = Preprocessor.from_conf(conf)
+
+    def make_stream(worker_id: int):
+        data = SequentialDataset(
+            make_repository(data_dir), conf.batch_length, conf.batch_size,
+            skip_first=True, reset_interval=0, seed=worker_id)
+        return preprocess(iter(data))
+
+    loader = ParallelLoader(make_stream, num_workers=2)
+    data_iter = prefetch_iterator(iter(loader), size=2,
+                                  transform=_make_input_transform(None, False))
+
+    def timed_pipeline_steps(n, i0):
+        nonlocal params, opt_state, state
+        t0 = time.perf_counter()
+        m = None
+        for i in range(i0, i0 + n):
+            b, _wid, _stats = next(data_iter)
+            params, opt_state, state, m, *_ = step_fn(
+                params, opt_state, b, state, np.int32(i), rng)
+        float(m["loss_model"])
+        return n / (time.perf_counter() - t0)
+
+    timed_pipeline_steps(n_warm, 100)     # warm the stream + caches
+    sps_pipe = timed_pipeline_steps(n_meas, 200)
+
+    # --- 2. concurrent generator (network policy on host CPU) -------------
+    run_dir = str(Path(tmp) / "run")
+    from pydreamer_tpu.tracking import Run
+    run_ = Run(run_dir)
+    # Generator env is GridWorld (always available; no ALE in this image);
+    # its model must match the env action space.
+    gen_conf = dict(_make_conf(tiny=False).to_dict())
+    gen_conf.update(action_dim=4, image_size=64, image_channels=3)
+    gen_model = Dreamer(type(conf)(gen_conf))
+    gen_params = jax.jit(gen_model.init)(jax.random.PRNGKey(0))
+    run_.save_checkpoint({"params": jax.device_get(gen_params),
+                          "opt_state": {}}, 1)
+
+    gen_steps = 600 if quick else 2_000
+    ctx = mp.get_context("spawn")
+    proc = ctx.Process(target=run_generator,
+                       args=(run_dir, str(Path(tmp) / "gen_episodes"),
+                             gen_conf, gen_steps), daemon=True)
+    t_gen0 = time.perf_counter()
+    proc.start()
+    # Learner keeps stepping while the generator runs (the real contention).
+    learner_steps = 0
+    while proc.is_alive():
+        b, _wid, _stats = next(data_iter)
+        params, opt_state, state, m, *_ = step_fn(
+            params, opt_state, b, state, np.int32(learner_steps), rng)
+        learner_steps += 1
+        if learner_steps % 20 == 0:
+            float(m["loss_model"])
+    proc.join()
+    t_gen = time.perf_counter() - t_gen0
+    agent_sps = gen_steps / t_gen
+    sps_concurrent = learner_steps / t_gen
+    train_every = agent_sps / max(sps_concurrent, 1e-9)
+
+    print(json.dumps({
+        "metric": "grad_steps_per_sec_pipeline",
+        "value": round(sps_pipe, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(sps_pipe / REF_GRAD_STEPS, 2),
+        "extra": {
+            "grad_steps_per_sec_const_batch": round(sps_const, 3),
+            "grad_steps_per_sec_with_generator": round(sps_concurrent, 3),
+            "agent_steps_per_sec": round(agent_sps, 2),
+            "agent_steps_vs_t4": round(agent_sps / REF_AGENT_STEPS, 2),
+            "train_every": round(train_every, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
