@@ -89,6 +89,26 @@ class OneHotCategorical:
         probs = self.probs
         return sample + (probs - jax.lax.stop_gradient(probs))
 
+    # -- pre-drawn-noise sampling (TPU perf path) --------------------------
+    # Inside a lax.scan every per-step `sample(key)` puts a threefry + gumbel
+    # computation on the sequential critical path. Callers can instead draw
+    # ALL noise in one batched RNG op outside the scan (draw_noise) and pass
+    # per-step slices here — identical distribution (gumbel-max trick), the
+    # RNG cost runs time-parallel.
+
+    @staticmethod
+    def draw_noise(key: jax.Array, shape) -> jax.Array:
+        return jax.random.gumbel(key, shape, jnp.float32)
+
+    def sample_noise(self, gumbel: jax.Array) -> jax.Array:
+        idx = jnp.argmax(self.logits + gumbel, axis=-1)
+        return jax.nn.one_hot(idx, self.logits.shape[-1], dtype=jnp.float32)
+
+    def rsample_noise(self, gumbel: jax.Array) -> jax.Array:
+        sample = self.sample_noise(gumbel)
+        probs = self.probs
+        return sample + (probs - jax.lax.stop_gradient(probs))
+
     def kl_to(self, other: "OneHotCategorical") -> jax.Array:
         kl = jnp.sum(jnp.exp(self.logits) * (self.logits - other.logits), axis=-1)
         return self._sum_events(kl)
@@ -136,6 +156,16 @@ class DiagNormal:
 
     # Reparameterized by construction.
     rsample = sample
+
+    # Pre-drawn-noise sampling (see OneHotCategorical.draw_noise).
+    @staticmethod
+    def draw_noise(key: jax.Array, shape) -> jax.Array:
+        return jax.random.normal(key, shape, jnp.float32)
+
+    def sample_noise(self, eps: jax.Array) -> jax.Array:
+        return self.loc + self.scale * eps
+
+    rsample_noise = sample_noise
 
     def kl_to(self, other: "DiagNormal") -> jax.Array:
         var_ratio = jnp.square(self.scale / other.scale)

@@ -31,7 +31,8 @@ from .distributions import OneHotCategorical, diag_normal
 from .encoders import MultiEncoder
 from .functions import logavgexp, flatten_batch, unflatten_batch
 from .probes import make_probe
-from .rssm import RSSMCore, init_state, to_feature, feature_replace_z
+from .rssm import (RSSMCore, draw_z_noise, init_state, to_feature,
+                   feature_replace_z)
 
 __all__ = ["Dreamer", "WorldModel", "dummy_obs", "compute_dtype"]
 
@@ -330,21 +331,28 @@ class Dreamer:
         """
         wm_params = sg(params["wm"])
         actor_params = params["actor"]
-        keys = jax.random.split(key, imag_horizon)
+        k_act, k_z = jax.random.split(key)
+        act_keys = jax.random.split(k_act, imag_horizon)
+        # Latent sampling noise for all H steps in one batched RNG op —
+        # keeps threefry/gumbel off the sequential critical path (the action
+        # noise is ~50x smaller and keeps per-step keys).
+        M = in_state[0].shape[0]
+        z_noise = draw_z_noise(k_z, (imag_horizon, M),
+                               self.wm.stoch_dim, self.wm.stoch_discrete)
 
-        def step(state, k):
-            k_act, k_prior = jax.random.split(k)
+        def step(state, x):
+            ka, zn = x
             feature = to_feature(*state)
             action_dist = self.ac.forward_actor(actor_params, feature)
-            action = (action_dist.rsample(k_act) if dynamics_gradients
-                      else action_dist.sample(k_act))
+            action = (action_dist.rsample(ka) if dynamics_gradients
+                      else action_dist.sample(ka))
             _, new_state = self.wm.core.apply(
-                wm_params["core"], state, action, None, k_prior,
+                wm_params["core"], state, action, None, zn,
                 method=RSSMCore.prior_step)
             return new_state, (feature, action)
 
         last_state, (features, actions) = jax.lax.scan(
-            step, in_state, keys,
+            step, in_state, (act_keys, z_noise),
             unroll=min(int(self.conf.get("scan_unroll", 1)), imag_horizon))
         features = jnp.concatenate([features, to_feature(*last_state)[None]], 0)
 

@@ -115,12 +115,16 @@ class NormGRUCellLateReset(nn.Module):
 _CELLS = {
     "gru": GRUCell,
     "gru_layernorm": NormGRUCell,
-    "gru_layernorm_dv2": NormGRUCellLateReset,
+    # XLA lowering of the late-reset cell. On TPU the fused Pallas kernel is
+    # measurably faster for the same math (scripts/bench_gru.py: 35.25 vs
+    # 33.85 grad-steps/s at the flagship config — see PERF.md), so the plain
+    # name auto-selects the kernel; this explicit alias forces XLA.
+    "gru_layernorm_dv2_xla": NormGRUCellLateReset,
 }
 
 
 def make_gru_cell(cell_type: str, hidden_size: int, dtype=jnp.float32, name=None):
-    if cell_type == "gru_pallas_dv2":
+    if cell_type in ("gru_layernorm_dv2", "gru_pallas_dv2"):
         # Fused Pallas TPU kernel for the late-reset cell (ops/gru_pallas.py);
         # falls back to plain XLA on non-TPU backends / oversized shapes.
         from ..ops.gru_pallas import NormGRUCellLateResetPallas
@@ -130,7 +134,7 @@ def make_gru_cell(cell_type: str, hidden_size: int, dtype=jnp.float32, name=None
     except KeyError:
         raise ValueError(
             f"Unknown gru_type {cell_type!r}; options: "
-            f"{sorted(_CELLS) + ['gru_pallas_dv2']}")
+            f"{sorted(_CELLS) + ['gru_layernorm_dv2', 'gru_pallas_dv2']}")
     return cls(hidden_size=hidden_size, dtype=dtype, name=name)
 
 

@@ -31,7 +31,8 @@ from .functions import expand_iwae
 from .modules import Dense, Norm
 from .rnn import GRUCellStack
 
-__all__ = ["RSSMCell", "RSSMCore", "init_state", "to_feature", "feature_replace_z"]
+__all__ = ["RSSMCell", "RSSMCore", "draw_z_noise", "init_state", "to_feature",
+           "feature_replace_z"]
 
 State = Tuple[jax.Array, jax.Array]  # (h: (B,D), z: (B,S*K))
 
@@ -46,6 +47,22 @@ def init_state(batch_size: int, deter_dim: int, stoch_dim: int, stoch_discrete: 
 
 def to_feature(h: jax.Array, z: jax.Array) -> jax.Array:
     return jnp.concatenate([h, z], -1)
+
+
+def draw_z_noise(key: jax.Array, shape_prefix: Tuple[int, ...],
+                 stoch_dim: int, stoch_discrete: int) -> jax.Array:
+    """Pre-draw latent sampling noise for a whole scan in ONE batched RNG op.
+
+    Per-step `rsample(key)` calls inside lax.scan put threefry + gumbel on
+    the sequential critical path (the z tensor is the largest per-step RNG
+    consumer: (B, S, K) elements). Drawing (T, B, S, K) up front keeps the
+    math identical (gumbel-max / reparameterization) while the RNG runs
+    time-parallel. Returns standard gumbel (discrete) or normal (gaussian).
+    """
+    if stoch_discrete:
+        return jax.random.gumbel(
+            key, shape_prefix + (stoch_dim, stoch_discrete), jnp.float32)
+    return jax.random.normal(key, shape_prefix + (stoch_dim,), jnp.float32)
 
 
 def feature_replace_z(features: jax.Array, z: jax.Array) -> jax.Array:
@@ -117,18 +134,21 @@ class RSSMCell(nn.Module):
 
     # -- steps ------------------------------------------------------------
 
-    def post_step(self, in_state: State, embed, action, reset_mask, key):
-        """Posterior step (reference: rssm.py:125-153)."""
+    def post_step(self, in_state: State, embed, action, reset_mask, z_noise):
+        """Posterior step (reference: rssm.py:125-153).
+
+        ``z_noise``: pre-drawn standard noise from ``draw_z_noise`` — see
+        there for why sampling noise is hoisted out of the scan."""
         h = self._gru_step(action, in_state, reset_mask)
         post = self._post_stats(h, embed)
-        z = self.zdistr(post).rsample(key).reshape(h.shape[0], -1)
+        z = self.zdistr(post).rsample_noise(z_noise).reshape(h.shape[0], -1)
         return post, (h, z)
 
-    def prior_step(self, in_state: State, action, reset_mask, key):
+    def prior_step(self, in_state: State, action, reset_mask, z_noise):
         """Prior (open-loop / imagination) step (reference: rssm.py:155-184)."""
         h = self._gru_step(action, in_state, reset_mask)
         prior = self._prior_stats(h)
-        z = self.zdistr(prior).rsample(key).reshape(h.shape[0], -1)
+        z = self.zdistr(prior).rsample_noise(z_noise).reshape(h.shape[0], -1)
         return prior, (h, z)
 
     def batch_prior(self, h: jax.Array) -> jax.Array:
@@ -175,16 +195,17 @@ class RSSMCore(nn.Module):
         embeds = expand_iwae(embed, I)                              # (T,BI,E)
         actions = expand_iwae(action, I)                            # (T,BI,A)
         reset_masks = expand_iwae((~reset.astype(bool))[..., None].astype(jnp.float32), I)
-        keys = jax.random.split(key, T)
+        # One batched RNG op for all T steps (see draw_z_noise).
+        z_noise = draw_z_noise(key, (T, B * I), self.stoch_dim, self.stoch_discrete)
 
         def scan_post(cell, carry, x):
-            emb, act, rm, k = x
-            post, (h, z) = cell.post_step(carry, emb, act, rm, k)
+            emb, act, rm, zn = x
+            post, (h, z) = cell.post_step(carry, emb, act, rm, zn)
             return (h, z), (post, h, z)
 
         def scan_prior(cell, carry, x):
-            _, act, rm, k = x
-            prior, (h, z) = cell.prior_step(carry, act, rm, k)
+            _, act, rm, zn = x
+            prior, (h, z) = cell.prior_step(carry, act, rm, zn)
             return (h, z), (prior, h, z)
 
         scan_fn = scan_prior if do_open_loop else scan_post
@@ -194,7 +215,7 @@ class RSSMCore(nn.Module):
                        in_axes=0, out_axes=0,
                        unroll=self.scan_unroll)
         (h_last, z_last), (posts, states_h, samples) = scan(
-            self.cell, in_state, (embeds, actions, reset_masks, keys))
+            self.cell, in_state, (embeds, actions, reset_masks, z_noise))
 
         priors = self.cell.batch_prior(states_h)                    # (T,BI,2S)
         features = to_feature(states_h, samples)                    # (T,BI,D+S*K)
@@ -211,12 +232,13 @@ class RSSMCore(nn.Module):
             out_state,
         )
 
-    # Single-cell passthroughs for dream/inference call-sites.
-    def prior_step(self, in_state: State, action, reset_mask, key):
-        return self.cell.prior_step(in_state, action, reset_mask, key)
+    # Single-cell passthroughs for dream/inference call-sites. Callers pass
+    # pre-drawn standard noise (draw_z_noise), not PRNG keys.
+    def prior_step(self, in_state: State, action, reset_mask, z_noise):
+        return self.cell.prior_step(in_state, action, reset_mask, z_noise)
 
-    def post_step(self, in_state: State, embed, action, reset_mask, key):
-        return self.cell.post_step(in_state, embed, action, reset_mask, key)
+    def post_step(self, in_state: State, embed, action, reset_mask, z_noise):
+        return self.cell.post_step(in_state, embed, action, reset_mask, z_noise)
 
     def zdistr(self, pp):
         return self.cell.zdistr(pp)
