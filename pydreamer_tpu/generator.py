@@ -325,7 +325,10 @@ class NetworkPolicy:
         action, new_state, metrics = self._infer(self.params, batch, self.state, key)
         self.state = new_state
         mets = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        action = np.asarray(action).squeeze()  # (1,1,A) => (A,)
+        # (T=1, B=1, A) => (A,). Index, don't squeeze(): a full squeeze would
+        # also drop A when A == 1 (1-dim continuous envs like DMC cartpole)
+        # and break the env wrappers' action-shape contract.
+        action = np.asarray(action)[0, 0]
         return action, mets
 
 

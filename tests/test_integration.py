@@ -118,3 +118,45 @@ def test_learner_resume(tiny_conf, tmp_path, monkeypatch):
     trainer.run(conf2, run_dir=str(run_dir))
     _, step2 = Run(run_dir).load_checkpoint()
     assert step1 == 2 and step2 == 4
+
+
+def test_network_policy_continuous_action_shape():
+    """A 1-dim continuous action (DMC cartpole) must come out of
+    NetworkPolicy as shape (1,), not a scalar — a bare squeeze() drops the
+    action axis and violates the wrapper contract (found live: the DMC
+    generator crashed on ActionRewardResetWrapper's shape assert)."""
+    import jax
+    from pydreamer_tpu.data.preprocessing import Preprocessor
+    from pydreamer_tpu.models.dreamer import Dreamer
+
+    conf = make_conf(
+        image_key=None, image_encoder=None, image_decoder=None,
+        vecobs_size=5, action_dim=1, actor_dist="tanh_normal",
+        actor_grad="dynamics",
+        deter_dim=32, stoch_dim=4, stoch_discrete=4, hidden_dim=32,
+        reward_decoder_layers=1, terminal_decoder_layers=1, imag_horizon=3)
+    model = Dreamer(conf)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    policy = gen.NetworkPolicy(model, Preprocessor.from_conf(conf))
+    policy.set_params(params)
+    obs = {
+        "vecobs": np.zeros(5, np.float32),
+        "action": np.zeros(1, np.float32),
+        "reward": np.float32(0.0),
+        "terminal": np.float32(0.0),
+        "reset": np.bool_(True),
+    }
+    action, _ = policy(obs)
+    assert action.shape == (1,), action.shape
+    # discrete stays (A,) too
+    conf_d = make_conf(
+        image_key=None, image_encoder=None, image_decoder=None,
+        vecobs_size=5, action_dim=4,
+        deter_dim=32, stoch_dim=4, stoch_discrete=4, hidden_dim=32,
+        reward_decoder_layers=1, terminal_decoder_layers=1, imag_horizon=3)
+    model_d = Dreamer(conf_d)
+    policy_d = gen.NetworkPolicy(model_d, Preprocessor.from_conf(conf_d))
+    policy_d.set_params(jax.jit(model_d.init)(jax.random.PRNGKey(0)))
+    obs_d = dict(obs, action=np.zeros(4, np.float32))
+    action_d, _ = policy_d(obs_d)
+    assert action_d.shape == (4,), action_d.shape
