@@ -45,9 +45,17 @@ def _generator_entry(kwargs):
     generator.main(**kwargs)
 
 
+# Learner exit code meaning "relaunch me" (clean self-recycle after hitting
+# conf.max_rss_gb — see training/trainer.py). Distinct from 0 (done) and
+# error codes (fail the job).
+RECYCLE_EXIT_CODE = 42
+
+
 def _learner_entry(conf, run_dir):
+    import sys
     from .training import trainer
-    trainer.run(conf, run_dir=run_dir)
+    if trainer.run(conf, run_dir=run_dir) == "recycle":
+        sys.exit(RECYCLE_EXIT_CODE)
 
 
 def launch(argv: Optional[List[str]] = None, config_dir: str = "./config"):
@@ -120,6 +128,16 @@ def launch(argv: Optional[List[str]] = None, config_dir: str = "./config"):
 
     try:
         while subprocesses:
+            # Learner self-recycle (max_rss_gb): relaunch it; it resumes
+            # from its own checkpoint while the generators keep running.
+            if (learner_proc is not None and not learner_proc.is_alive()
+                    and learner_proc.exitcode == RECYCLE_EXIT_CODE):
+                subprocesses.remove(learner_proc)
+                logger.info("Learner requested recycle; relaunching.")
+                learner_proc = ctx.Process(target=_learner_entry, daemon=False,
+                                           args=(conf, str(artifact_dir)))
+                learner_proc.start()
+                subprocesses.append(learner_proc)
             check_subprocesses(subprocesses)
             # When the learner completes cleanly there is nothing left to
             # train; shut the generator pool down too (the reference hangs

@@ -322,6 +322,30 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
                     loader.close()
                     return
 
+                # Leak-aware self-recycle: when host RSS crosses max_rss_gb,
+                # checkpoint and exit cleanly so the launcher restarts a
+                # fresh learner that resumes (launch.py). Guards against
+                # host-memory creep on long runs — e.g. remote-TPU client
+                # libraries that retain a copy of every host->device
+                # transfer (measured on this image: ~1 batch leaked/step;
+                # see PERF.md "host memory" note).
+                if (conf.get("max_rss_gb", 0)
+                        and steps % conf.log_interval == 0):
+                    import resource
+                    rss_gb = resource.getrusage(
+                        resource.RUSAGE_SELF).ru_maxrss / 1048576
+                    if rss_gb > conf.max_rss_gb:
+                        logger.warning(
+                            "RSS %.1f GB > max_rss_gb %.1f: checkpointing "
+                            "and requesting learner recycle.",
+                            rss_gb, conf.max_rss_gb)
+                        ckpt_data = fetch_all({"params": params,
+                                               "opt_state": opt_state})
+                        if main_process:
+                            run_.save_checkpoint(ckpt_data, steps)
+                        loader.close()
+                        return "recycle"
+
             with Timer("eval"):
                 if conf.eval_interval and steps % conf.eval_interval == 0:
                     # Multi-host: eval runs on process 0 only, on a host

@@ -93,6 +93,35 @@ class TestWatchdog:
 
 
 @pytest.mark.slow
+def test_learner_recycle_on_rss(tmp_path):
+    """max_rss_gb: the learner checkpoints and exits with the recycle code;
+    the launcher relaunches it and the fresh learner resumes from the
+    checkpoint until n_steps. Guards long runs against host-memory creep
+    (leaky transfer clients, fragmentation)."""
+    run_dir = tmp_path / "run"
+    env = dict(os.environ, PYTHONPATH=str(REPO_ROOT))
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pydreamer_tpu.launch",
+         "--configs", "defaults", "gridworld", "debug",
+         "--n_steps", "4", "--generator_prefill_steps", "300",
+         "--eval_interval", "0", "--save_interval", "100",
+         "--log_interval", "2", "--logbatch_interval", "1000",
+         "--max_rss_gb", "0.05",  # always exceeded -> recycle every check
+         "--run_dir", str(run_dir)],
+        env=env, cwd=str(REPO_ROOT), timeout=420,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    out = proc.stdout
+    assert proc.returncode == 0, f"launch failed:\n{out[-4000:]}"
+    assert "requesting learner recycle" in out
+    assert "Learner requested recycle; relaunching." in out
+    assert "Finished 4 grad steps." in out
+    from pydreamer_tpu.tracking import load_checkpoint_file
+    loaded = load_checkpoint_file(run_dir / "checkpoints" / "latest.ckpt")
+    assert loaded is not None and loaded[1] == 4  # resumed across recycles
+
+
+@pytest.mark.slow
 def test_full_topology_launch(tmp_path):
     """The one e2e path users run: `python -m pydreamer_tpu.launch --configs
     defaults gridworld debug`, bounded to a few grad steps. Asserts the full
