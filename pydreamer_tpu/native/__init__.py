@@ -100,8 +100,15 @@ def _parse_npy(buf: bytes) -> np.ndarray:
     return arr
 
 
-def load_npz(path, nthreads: int = 4) -> Dict[str, np.ndarray]:
-    """Load an npz with parallel native inflate; np.load fallback."""
+def load_npz(path, nthreads: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Load an npz with parallel native inflate; np.load fallback.
+
+    nthreads=None: adaptive — min(entry count, cpu_count-1). Real episode
+    files are dominated by one big image entry (one zlib stream, not
+    splittable), so extra threads only help multi-entry files and
+    oversubscription on small hosts actively hurts (measured on the 2-vCPU
+    TPU host; see PERF.md).
+    """
     lib = _get_lib()
     if lib is None:
         with np.load(path) as npz:
@@ -118,6 +125,8 @@ def load_npz(path, nthreads: int = 4) -> Dict[str, np.ndarray]:
         ptrs = (ctypes.c_void_p * n)(*[
             ctypes.cast((ctypes.c_char * len(b)).from_buffer(b), ctypes.c_void_p)
             for b in bufs])
+        if nthreads is None:
+            nthreads = max(1, min(n, (os.cpu_count() or 2) - 1))
         rc = lib.npz_read_all(handle, ptrs, nthreads)
         if rc != 0:
             logger.warning("Native npz read failed rc=%d for %s; using np.load", rc, path)

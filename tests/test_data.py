@@ -218,12 +218,20 @@ class TestParallelLoader:
         b, wid = next(iter(inline))
         assert wid == 0 and b["reward"].shape == (8, 2)
 
+        # Arrival-order mode: batches flow, wids valid (which worker wins a
+        # slot is scheduler-dependent, so no distribution assertion).
         threaded = ParallelLoader(make_stream, num_workers=2)
         it = iter(threaded)
-        wids = set()
         for _ in range(8):
             b, wid = next(it)
-            wids.add(wid)
+            assert wid in (0, 1)
             assert b["reward"].shape == (8, 2)
         threaded.close()
-        assert wids == {0, 1}
+
+        # strict_order: deterministic round-robin regardless of scheduling
+        # (the multi-host requirement).
+        ordered = ParallelLoader(make_stream, num_workers=2, strict_order=True)
+        it = iter(ordered)
+        wids = [next(it)[1] for _ in range(6)]
+        ordered.close()
+        assert wids == [0, 1, 0, 1, 0, 1]

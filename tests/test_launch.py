@@ -109,7 +109,7 @@ def test_learner_recycle_on_rss(tmp_path):
          "--log_interval", "2", "--logbatch_interval", "1000",
          "--max_rss_gb", "0.05",  # always exceeded -> recycle every check
          "--run_dir", str(run_dir)],
-        env=env, cwd=str(REPO_ROOT), timeout=420,
+        env=env, cwd=str(REPO_ROOT), timeout=600,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     out = proc.stdout
     assert proc.returncode == 0, f"launch failed:\n{out[-4000:]}"
@@ -140,7 +140,7 @@ def test_full_topology_launch(tmp_path):
          "--eval_interval", "0", "--save_interval", "3",
          "--log_interval", "2", "--logbatch_interval", "1000",
          "--run_dir", str(run_dir)],
-        env=env, cwd=str(REPO_ROOT), timeout=420,
+        env=env, cwd=str(REPO_ROOT), timeout=600,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     out = proc.stdout
     assert proc.returncode == 0, f"launch failed:\n{out[-4000:]}"
