@@ -331,28 +331,29 @@ class Dreamer:
         """
         wm_params = sg(params["wm"])
         actor_params = params["actor"]
-        k_act, k_z = jax.random.split(key)
-        act_keys = jax.random.split(k_act, imag_horizon)
-        # Latent sampling noise for all H steps in one batched RNG op —
-        # keeps threefry/gumbel off the sequential critical path (the action
-        # noise is ~50x smaller and keeps per-step keys).
+        keys = jax.random.split(key, imag_horizon)
+        # NB: unlike the RSSM forward scan (rssm.py — pre-drawn noise wins
+        # there), the dream scan draws its z noise per step INSIDE the scan:
+        # the (H, M, S, K) noise tensor is ~90 MB at the flagship config and
+        # streaming it through the scan cost more than it saved (measured on
+        # chip: dream while-op 3.55 -> 4.0 ms/step with hoisted noise).
         M = in_state[0].shape[0]
-        z_noise = draw_z_noise(k_z, (imag_horizon, M),
-                               self.wm.stoch_dim, self.wm.stoch_discrete)
 
-        def step(state, x):
-            ka, zn = x
+        def step(state, k):
+            k_act, k_prior = jax.random.split(k)
             feature = to_feature(*state)
             action_dist = self.ac.forward_actor(actor_params, feature)
-            action = (action_dist.rsample(ka) if dynamics_gradients
-                      else action_dist.sample(ka))
+            action = (action_dist.rsample(k_act) if dynamics_gradients
+                      else action_dist.sample(k_act))
+            zn = draw_z_noise(k_prior, (M,),
+                              self.wm.stoch_dim, self.wm.stoch_discrete)
             _, new_state = self.wm.core.apply(
                 wm_params["core"], state, action, None, zn,
                 method=RSSMCore.prior_step)
             return new_state, (feature, action)
 
         last_state, (features, actions) = jax.lax.scan(
-            step, in_state, (act_keys, z_noise),
+            step, in_state, keys,
             unroll=min(int(self.conf.get("scan_unroll", 1)), imag_horizon))
         features = jnp.concatenate([features, to_feature(*last_state)[None]], 0)
 
