@@ -209,23 +209,27 @@ class SequentialDataset:
 
     def randomize_resets(self, resets: np.ndarray, reset_interval: int,
                          batch_length: int) -> np.ndarray:
-        """Cut each episode into random intervals >= batch_length apart."""
-        assert resets[0]
-        ep_boundaries = np.where(resets)[0].tolist() + [len(resets)]
-        random_resets = np.zeros_like(resets)
-        for i in range(len(ep_boundaries) - 1):
-            ep_start = ep_boundaries[i]
-            ep_end = ep_boundaries[i + 1]
-            ep_steps = ep_end - ep_start
+        """Inject random TBTT state resets (cold-start regularization).
 
-            max_intervals = (ep_steps // reset_interval) + 1
-            n_intervals = int(self.rng.integers(1, max_intervals + 1))
-            if n_intervals > 1:
-                space = ep_steps - batch_length * n_intervals
-                if space <= 0:
-                    continue
-                i_boundaries = np.sort(self.rng.choice(space, n_intervals - 1))
-                i_boundaries = ep_start + i_boundaries + np.arange(1, n_intervals) * batch_length
-                random_resets[i_boundaries] = True
-                assert (resets | random_resets)[ep_start:ep_end].sum() == n_intervals
-        return random_resets
+        Each episode is independently cut into k ~ U{1 .. len//interval + 1}
+        chunks, every chunk at least ``batch_length`` long; chunk starts
+        (except the episode's own) become synthetic resets. Same sampling
+        distribution as the reference (data.py:284-305), plus a guard for
+        episodes too short to fit k chunks (the k-1 cut case only).
+        """
+        assert resets[0]
+        out = np.zeros_like(resets)
+        ep_starts = np.flatnonzero(resets)
+        ep_lengths = np.diff(np.append(ep_starts, len(resets)))
+        for start, n in zip(ep_starts, ep_lengths):
+            k = 1 + int(self.rng.integers(n // reset_interval + 1))
+            slack = int(n) - batch_length * k
+            if k == 1 or slack <= 0:
+                continue
+            # k-1 cut positions: sorted uniform draws over the slack, spread
+            # by a mandatory batch_length stride so no chunk is shorter than
+            # one batch window (draws may repeat; the stride keeps the
+            # resulting indices distinct).
+            cuts = np.sort(self.rng.integers(0, slack, size=k - 1))
+            out[start + batch_length * np.arange(1, k) + cuts] = True
+        return out

@@ -17,13 +17,13 @@ ActionRewardReset -> Collect.
 from __future__ import annotations
 
 from .base import Box, Discrete, Env, Space, Wrapper
-from .fake import BanditEnv, CountingEnv, GridWorld
+from .fake import BanditEnv, CountingEnv, GridWorld, PointEnv
 from .wrappers import (ActionRewardResetWrapper, CollectWrapper, DictWrapper,
                        OneHotActionWrapper, RestartOnExceptionWrapper,
                        TimeLimitWrapper)
 
 __all__ = ["create_env", "Env", "Wrapper", "Space", "Discrete", "Box",
-           "BanditEnv", "CountingEnv", "GridWorld"]
+           "BanditEnv", "CountingEnv", "GridWorld", "PointEnv"]
 
 
 def create_env(env_id: str, no_terminal: bool, env_time_limit: int,
@@ -47,6 +47,14 @@ def create_env(env_id: str, no_terminal: bool, env_time_limit: int,
         env = BanditEnv(action_dim=int(parts[0]),
                         episode_length=int(parts[1]) if len(parts) > 1 else 8,
                         seed=worker_id)
+        env = DictWrapper(env)
+
+    elif env_id.startswith("Point-"):
+        # Point-2x32 => 2-dim action, episode length 32
+        parts = env_id.split("-")[1].split("x")
+        env = PointEnv(action_dim=int(parts[0]),
+                       episode_length=int(parts[1]) if len(parts) > 1 else 32,
+                       seed=worker_id)
         env = DictWrapper(env)
 
     elif env_id.startswith("MiniGrid-"):

@@ -17,7 +17,70 @@ import numpy as np
 
 from .base import Discrete, Env
 
-__all__ = ["MiniGrid", "MinigridWanderPolicy"]
+__all__ = ["MiniGrid", "MinigridWanderPolicy", "view_to_global_coords",
+           "update_last_seen", "centered_map"]
+
+# dir 0..3 = right, down, left, up (minigrid DIR_TO_VEC); right_vec is the
+# forward vector rotated clockwise.
+_DIR_TO_VEC = np.array([(1, 0), (0, 1), (-1, 0), (0, -1)], np.int64)
+
+
+def view_to_global_coords(agent_pos, agent_dir: int, view_size: int,
+                          width: int, height: int):
+    """Map the (view_size, view_size) egocentric view onto global grid cells.
+
+    The agent sits at the bottom-center of its view looking "up" the view's
+    j axis. Returns (x, y, mask) arrays of shape (view_size, view_size):
+    global coordinates per view cell and an in-bounds mask. Vectorized
+    counterpart of the reference's per-cell loop
+    (reference: pydreamer/envs/minigrid.py:181-199).
+    """
+    n = view_size
+    f = _DIR_TO_VEC[agent_dir]
+    r = np.array([-f[1], f[0]], np.int64)
+    top_left = np.asarray(agent_pos, np.int64) + f * (n - 1) - r * (n // 2)
+    vis_i = np.arange(n)[:, None, None]  # rightward offset in the view
+    vis_j = np.arange(n)[None, :, None]  # how far ahead (0 = farthest row)
+    xy = top_left[None, None, :] - f[None, None, :] * vis_j + r[None, None, :] * vis_i
+    x, y = xy[..., 0], xy[..., 1]
+    mask = (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    return x, y, mask
+
+
+def update_last_seen(last_seen: np.ndarray, vis_mask: np.ndarray,
+                     cap: int) -> np.ndarray:
+    """Advance the per-cell visibility age: +1 everywhere (clipped at cap),
+    zeroed where currently visible (reference: minigrid.py:170-176). Mutates
+    and returns ``last_seen``."""
+    np.minimum(last_seen + 1, cap, out=last_seen)
+    last_seen[vis_mask] = 0
+    return last_seen
+
+
+def centered_map(grid: np.ndarray, agent_pos, agent_dir: int,
+                 out_size: int, pad_value: int = 2) -> np.ndarray:
+    """Agent-centered, agent-oriented crop of the global class grid.
+
+    Crops an (out_size, out_size) window centered on the agent (out-of-bounds
+    cells read ``pad_value`` = wall, like the reference Grid.slice), then
+    rotates it so the agent faces "up" in the crop — the counterpart of the
+    reference's grid.slice + rotate_left loop (minigrid.py:159-166).
+    """
+    m = out_size
+    half = (m - 1) // 2
+    x0 = int(agent_pos[0]) - half
+    y0 = int(agent_pos[1]) - half
+    out = np.full((m, m), pad_value, grid.dtype)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1 = min(x0 + m, grid.shape[0])
+    sy1 = min(y0 + m, grid.shape[1])
+    if sx1 > sx0 and sy1 > sy0:
+        out[sx0 - x0:sx1 - x0, sy0 - y0:sy1 - y0] = grid[sx0:sx1, sy0:sy1]
+    # rotate_left k times, k = agent_dir + 1; one rotate_left of an [x][y]
+    # indexed grid is transpose + flip of the second axis.
+    for _ in range(agent_dir + 1):
+        out = out.T[:, ::-1]
+    return np.ascontiguousarray(out)
 
 
 class MiniGrid(Env):
@@ -42,6 +105,14 @@ class MiniGrid(Env):
         self._needs_seed = True
         self.action_space = Discrete(7, seed=seed)
         self.map_size = self._env.unwrapped.grid.width
+        # Visibility-age memory feeding map_vis -> map_seen_mask (the probe's
+        # seen-mask accuracy); never-seen cells carry the cap value, which the
+        # preprocessor thresholds at 500 (reference: minigrid.py:88,168-176).
+        self._vis_cap = max(int(max_steps or 0), 500)
+        u = self._env.unwrapped
+        self._last_seen = np.full((u.grid.width, u.grid.height),
+                                  self._vis_cap, np.uint16)
+        self.map_centered_size = 2 * self.map_size - 3
 
     def _compact(self, grid: np.ndarray) -> np.ndarray:
         """(H,W,3) minigrid encoding -> (H,W) compact class ids."""
@@ -66,12 +137,27 @@ class MiniGrid(Env):
         u = self._env.unwrapped
         image = self._compact(o["image"])
         full = u.grid.encode()
-        m = self._compact(full)
-        ay, ax = u.agent_pos
-        m[ay, ax] = 11
+        grid = self._compact(full)
+        m = grid.copy()
+        ax, ay = u.agent_pos
+        m[ax, ay] = 11
+
+        # Visibility-age map: project the raw view's seen cells (obj id > 0)
+        # onto the global grid and advance the per-cell age.
+        vx, vy, in_bounds = view_to_global_coords(
+            u.agent_pos, int(u.agent_dir), o["image"].shape[0],
+            u.grid.width, u.grid.height)
+        obs_vis = o["image"][..., 0] > 0
+        glb_vis = np.zeros((u.grid.width, u.grid.height), bool)
+        glb_vis[vx[in_bounds], vy[in_bounds]] = obs_vis[in_bounds]
+        map_vis = update_last_seen(self._last_seen, glb_vis, self._vis_cap).copy()
+
         return {
             "image": image,
             "map": m,
+            "map_vis": map_vis,
+            "map_centered": centered_map(grid, u.agent_pos, int(u.agent_dir),
+                                         self.map_centered_size),
             "agent_pos": np.array(u.agent_pos, np.float32),
             "agent_dir": np.array([np.cos(u.agent_dir * np.pi / 2),
                                    np.sin(u.agent_dir * np.pi / 2)], np.float32),
@@ -83,6 +169,7 @@ class MiniGrid(Env):
             self._needs_seed = False
         else:
             o, _ = self._env.reset()
+        self._last_seen[:] = self._vis_cap
         return self._obs(o)
 
     def step(self, action):

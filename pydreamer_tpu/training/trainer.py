@@ -103,14 +103,19 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     if online_data:
         prefill_target = conf.generator_prefill_steps // (
             jax.process_count() if multihost else 1)
+        last_logged_steps = -1
         while True:
             repo = make_repository(input_dirs)
             _, steps_now, _ = repo.count_steps()
-            if main_process:
+            # Log the prefill counter only when it changes — a long prefill
+            # polls every 10 s and must not write hundreds of duplicate
+            # step-0 rows into the metrics stream.
+            if main_process and steps_now != last_logged_steps:
                 run_.log_metrics(
                     {"train/data_steps": steps_now,
                      "train/data_env_steps": steps_now * conf.env_action_repeat},
                     step=0)
+                last_logged_steps = steps_now
             if steps_now < prefill_target:
                 logger.debug("Waiting for prefill: %d/%d steps...",
                              steps_now, prefill_target)

@@ -130,6 +130,48 @@ class TestSequentialDataset:
         # the first must start with an injected reset.
         assert sum(resets) >= 2
 
+    def test_randomize_resets_distribution(self, tmp_path):
+        """Property test of randomize_resets against the written spec:
+        per episode of length n, the chunk count must be U{1..n//interval+1},
+        every chunk at least batch_length long, and cut positions uniform
+        over the admissible slack. Checked by invariants plus a moment
+        comparison against a direct spec-sampler over many draws."""
+        repo = NpzEpisodeRepository(tmp_path / "eps")
+        repo.save_data(make_episode(30, seed=0), 0, 0)
+        ds = SequentialDataset(repo, 10, 1, skip_first=False, seed=123)
+
+        interval, T = 40, 10
+        n1, n2 = 130, 95  # two episodes
+        resets = np.zeros(n1 + n2, bool)
+        resets[0] = resets[n1] = True
+
+        rng_spec = np.random.default_rng(7)
+
+        def spec_counts(n):
+            """Chunk-count sampler straight from the spec (distribution only)."""
+            kmax = n // interval + 1
+            k = int(rng_spec.integers(1, kmax + 1))
+            return k if (k == 1 or n - T * k > 0) else 1
+
+        draws, spec_draws = [], []
+        positions = []
+        for _ in range(400):
+            rr = ds.randomize_resets(resets, interval, T)
+            assert not rr[resets].any()  # never coincides with real resets
+            for start, end in ((0, n1), (n1, n1 + n2)):
+                idx = np.flatnonzero(rr[start:end])
+                # invariant: all chunks >= batch_length
+                bounds = np.concatenate([[0], idx, [end - start]])
+                assert (np.diff(bounds) >= T).all()
+                draws.append(len(idx) + 1)
+                spec_draws.append(spec_counts(end - start))
+                positions.extend((idx - T) / (end - start))
+        # Moment match between implementation and spec-sampler.
+        assert abs(np.mean(draws) - np.mean(spec_draws)) < 0.15
+        assert abs(np.std(draws) - np.std(spec_draws)) < 0.15
+        # Cut positions spread across the episodes, not clustered at an edge.
+        assert 0.2 < np.mean(positions) < 0.65
+
 
 class TestPreprocessor:
     def test_uint8_image_passthrough(self):

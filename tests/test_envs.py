@@ -178,3 +178,93 @@ class TestScriptedPolicies:
                    map=m, map_agent=m, reset=True)
         a, _ = policy(obs)
         assert a in (0, 1, 2)
+
+
+class TestMinigridMapMemory:
+    """The map-memory machinery (map_vis ages + map_centered) as pure
+    functions — testable without the minigrid SDK
+    (reference: pydreamer/envs/minigrid.py:108-199)."""
+
+    def test_view_maps_agent_and_front_cells(self):
+        from pydreamer_tpu.envs.minigrid import view_to_global_coords
+        W = H = 11
+        for d, f in enumerate([(1, 0), (0, 1), (-1, 0), (0, -1)]):
+            x, y, mask = view_to_global_coords((5, 5), d, 7, W, H)
+            # Agent sits at view (n//2, n-1); must map to its own position.
+            assert mask[3, 6]
+            assert (x[3, 6], y[3, 6]) == (5, 5)
+            # The cell directly ahead (view (n//2, n-2)) is agent_pos + f.
+            assert (x[3, 5], y[3, 5]) == (5 + f[0], 5 + f[1])
+        # Facing a wall edge: out-of-grid view cells are masked out.
+        x, y, mask = view_to_global_coords((0, 0), 2, 7, W, H)  # facing left
+        assert not mask.all() and mask[3, 6]
+
+    def test_last_seen_ages_and_resets_on_visibility(self):
+        from pydreamer_tpu.envs.minigrid import update_last_seen
+        age = np.full((4, 4), 500, np.uint16)
+        vis = np.zeros((4, 4), bool)
+        vis[1, 2] = True
+        update_last_seen(age, vis, 500)
+        assert age[1, 2] == 0 and age[0, 0] == 500  # capped, not 501
+        update_last_seen(age, np.zeros((4, 4), bool), 500)
+        assert age[1, 2] == 1  # ages once hidden again
+
+    def test_centered_map_rotates_front_up(self):
+        """Whatever direction the agent faces, the cell ahead of it lands at
+        [c, c-1] of the centered map — the orientation contract the wander
+        policy relies on (reference: minigrid.py:230-234)."""
+        from pydreamer_tpu.envs.minigrid import centered_map
+        W = H = 9
+        for d, f in enumerate([(1, 0), (0, 1), (-1, 0), (0, -1)]):
+            grid = np.ones((W, H), np.int64)
+            pos = (4, 4)
+            grid[4 + f[0], 4 + f[1]] = 7  # marker directly ahead
+            m = centered_map(grid, pos, d, 2 * W - 3)
+            c = (2 * W - 3) // 2
+            assert m[c, c - 1] == 7, f"dir {d}"
+            assert m[c, c] == 1  # agent cell itself (empty)
+        # Out-of-bounds padding reads as wall.
+        m = centered_map(np.ones((W, H), np.int64), (0, 0), 3, 2 * W - 3)
+        assert (m == 2).any()
+
+    def test_seen_mask_probe_accuracy_activates(self):
+        """End-to-end: minigrid-shaped data with map_vis flows through the
+        Preprocessor into MapProbeHead and produces a finite acc_map_seen
+        (the seen-mask accuracy the reference computes on MiniGrid data)."""
+        import jax
+        import jax.numpy as jnp
+        from tests.util import make_conf
+        from pydreamer_tpu.data import Preprocessor
+        from pydreamer_tpu.models.probes import MapProbeHead
+
+        T, B, I, N = 3, 2, 1, 7
+        conf = make_conf(image_key=None, image_encoder=None, image_decoder=None,
+                         map_key="map", map_size=N, map_channels=12,
+                         map_categorical=True, map_decoder="dense",
+                         map_hidden_dim=32, map_hidden_layers=1,
+                         probe_model="map", action_dim=3)
+        rng = np.random.RandomState(0)
+        vis = rng.randint(0, 1000, (T, B, N, N)).astype(np.uint16)
+        batch = {
+            "map": rng.randint(0, 12, (T, B, N, N)).astype(np.uint8),
+            "map_vis": vis,
+            "agent_pos": rng.uniform(0, N, (T, B, 2)).astype(np.float32),
+            "agent_dir": rng.uniform(-1, 1, (T, B, 2)).astype(np.float32),
+            "action": rng.randint(0, 3, (T, B)),
+            "reward": np.zeros((T, B), np.float32),
+            "terminal": np.zeros((T, B), np.float32),
+            "reset": np.zeros((T, B), bool),
+        }
+        pp = Preprocessor.from_conf(conf)
+        out = pp.apply(batch)
+        assert "map_seen_mask" in out and "map_vis" not in out
+        np.testing.assert_array_equal(out["map_seen_mask"], (vis < 500))
+
+        probe = MapProbeHead(16 + 4, conf)
+        params = jax.jit(probe.init)(jax.random.PRNGKey(0))
+        feats = jnp.zeros((T, B, I, 16))
+        obs = {k: jnp.asarray(v) for k, v in out.items()
+               if k in ("map", "map_coord", "map_seen_mask")}
+        _, metrics, _ = probe.training_step(params, feats, obs)
+        assert "acc_map_seen" in metrics
+        assert np.isfinite(float(metrics["acc_map_seen"]))
