@@ -54,6 +54,7 @@ def main(env_id: str = "Grid-8",
          steps_per_npz: int = 1000,
          model_reload_interval: float = 120,
          model_conf=None,
+         envs_per_worker: int = 1,
          log_metrics: bool = True,
          split_fraction: float = 0.0,
          metrics_prefix: str = "agent",
@@ -82,13 +83,16 @@ def main(env_id: str = "Grid-8",
     env = create_env(env_id, env_no_terminal, env_time_limit,
                      env_action_repeat, worker_id)
 
+    envs_per_worker = max(1, int(envs_per_worker))
     if num_steps_prefill:
         logger.info("Prefill policy: %s", policy_prefill)
-        policy = create_policy(policy_prefill, env, model_conf)
+        policy = create_policy(policy_prefill, env, model_conf,
+                               n_envs=envs_per_worker)
         is_prefill_policy = True
     else:
         logger.info("Policy: %s", policy_main)
-        policy = create_policy(policy_main, env, model_conf)
+        policy = create_policy(policy_main, env, model_conf,
+                               n_envs=envs_per_worker)
         is_prefill_policy = False
 
     datas = []
@@ -99,48 +103,11 @@ def main(env_id: str = "Grid-8",
     all_returns = []
     steps = 0
 
-    while steps_saved < num_steps:
-        # Prefill -> main policy switch.
-        if is_prefill_policy and steps_saved >= num_steps_prefill:
-            logger.info("Switching to main policy: %s", policy_main)
-            policy = create_policy(policy_main, env, model_conf)
-            is_prefill_policy = False
-
-        # Reload network checkpoint (the policy channel).
-        if isinstance(policy, NetworkPolicy):
-            if time.time() - last_model_load > model_reload_interval:
-                while True:
-                    loaded = load_checkpoint_file(run_.checkpoint_path)
-                    if loaded is not None:
-                        state_dict, model_step = loaded
-                        policy.set_params(state_dict["params"])
-                        logger.info("Generator loaded model checkpoint %d", model_step)
-                        last_model_load = time.time()
-                        break
-                    logger.debug("Generator model checkpoint not found, waiting...")
-                    time.sleep(10)
-
-            if limit_step_ratio and steps_saved >= model_step * limit_step_ratio:
-                # Rate limit: wait for the learner to catch up.
-                time.sleep(1)
-                continue
-
-        # Unroll one episode.
-        epsteps = 0
-        timer = time.time()
-        obs = env.reset()
-        done = False
-        metrics = defaultdict(list)
-        while not done:
-            action, mets = policy(obs)
-            obs, reward, done, inf = env.step(action)
-            steps += 1
-            epsteps += 1
-            for k, v in mets.items():
-                metrics[k].append(v)
-
+    def finish_episode(data, metrics, epsteps, fps):
+        """Per-episode bookkeeping shared by the sequential and vectorized
+        loops: policy columns, agent metrics, npz chunk accumulation."""
+        nonlocal episodes, steps_saved, datas, datas_episodes, metrics_agg
         episodes += 1
-        data = inf["episode"]
         if "policy_value" in metrics:
             data["policy_value"] = np.array(metrics["policy_value"] + [np.nan])
             data["policy_entropy"] = np.array(metrics["policy_entropy"] + [np.nan])
@@ -150,7 +117,6 @@ def main(env_id: str = "Grid-8",
             for k in ("policy_value", "policy_entropy", "action_prob"):
                 data[k] = np.full(data["reward"].shape, np.nan)
 
-        fps = epsteps / (time.time() - timer + 1e-6)
         print_once("Episode data sample:", {k: v.shape for k, v in data.items()})
         logger.info("Episode recorded:  steps: %d,  reward: %.1f,  terminal: %.0f,"
                     "  total steps: %d,  episodes: %d,  saved steps (train): %d,"
@@ -228,6 +194,101 @@ def main(env_id: str = "Grid-8",
                 # Only train-repo steps count for prefill / rate limiting.
                 steps_saved += datas_steps
 
+    def maybe_switch_policy(policy, is_prefill_policy):
+        if is_prefill_policy and steps_saved >= num_steps_prefill:
+            logger.info("Switching to main policy: %s", policy_main)
+            return create_policy(policy_main, env, model_conf,
+                                 n_envs=envs_per_worker), False
+        return policy, is_prefill_policy
+
+    def maybe_reload_and_ratelimit(policy):
+        """Checkpoint poll (the policy channel) + limit_step_ratio wait.
+        Returns True if the caller should skip this iteration (rate limit)."""
+        nonlocal last_model_load, model_step
+        if not isinstance(policy, (NetworkPolicy, VectorNetworkPolicy)):
+            return False
+        if time.time() - last_model_load > model_reload_interval:
+            while True:
+                loaded = load_checkpoint_file(run_.checkpoint_path)
+                if loaded is not None:
+                    state_dict, model_step = loaded
+                    policy.set_params(state_dict["params"])
+                    logger.info("Generator loaded model checkpoint %d", model_step)
+                    last_model_load = time.time()
+                    break
+                logger.debug("Generator model checkpoint not found, waiting...")
+                time.sleep(10)
+        if limit_step_ratio and steps_saved >= model_step * limit_step_ratio:
+            time.sleep(1)
+            return True
+        return False
+
+    if envs_per_worker <= 1:
+        while steps_saved < num_steps:
+            policy, is_prefill_policy = maybe_switch_policy(policy, is_prefill_policy)
+            if maybe_reload_and_ratelimit(policy):
+                continue
+
+            # Unroll one episode.
+            epsteps = 0
+            timer = time.time()
+            obs = env.reset()
+            done = False
+            metrics = defaultdict(list)
+            while not done:
+                action, mets = policy(obs)
+                obs, reward, done, inf = env.step(action)
+                steps += 1
+                epsteps += 1
+                for k, v in mets.items():
+                    metrics[k].append(v)
+
+            finish_episode(inf["episode"], metrics, epsteps,
+                           fps=epsteps / (time.time() - timer + 1e-6))
+    else:
+        # Vectorized stepping: N env instances advance in lockstep through
+        # ONE batched policy call per tick (T=1, B=N jitted inference) —
+        # amortizes the per-call jit/infer overhead that dominates
+        # single-step acting on small hosts (VERDICT r2: agent-throughput).
+        # Episodes end (and reset) independently per slot; the RSSM state
+        # slot is zeroed by the reset flag the wrapper puts in the obs.
+        from .envs import create_env as _create_env
+        envs = [env] + [
+            _create_env(env_id, env_no_terminal, env_time_limit,
+                        env_action_repeat, worker_id * 1000 + i)
+            for i in range(1, envs_per_worker)]
+        obs_list = [e.reset() for e in envs]
+        ep_metrics = [defaultdict(list) for _ in envs]
+        ep_steps = [0] * envs_per_worker
+        ep_timer = [time.time()] * envs_per_worker
+        while steps_saved < num_steps:
+            policy, is_prefill_policy = maybe_switch_policy(policy, is_prefill_policy)
+            if maybe_reload_and_ratelimit(policy):
+                continue
+
+            if isinstance(policy, VectorNetworkPolicy):
+                actions, mets = policy(obs_list)   # mets: {k: (N,)}
+            else:
+                per = [policy(o) for o in obs_list]
+                actions = [a for a, _ in per]
+                mets = {}
+
+            for i, e in enumerate(envs):
+                obs_i, reward, done, inf = e.step(actions[i])
+                steps += 1
+                ep_steps[i] += 1
+                for k, v in mets.items():
+                    ep_metrics[i][k].append(float(v[i]))
+                if done:
+                    finish_episode(
+                        inf["episode"], ep_metrics[i], ep_steps[i],
+                        fps=ep_steps[i] / (time.time() - ep_timer[i] + 1e-6))
+                    obs_i = e.reset()
+                    ep_metrics[i] = defaultdict(list)
+                    ep_steps[i] = 0
+                    ep_timer[i] = time.time()
+                obs_list[i] = obs_i
+
     logger.info("Generator done.")
 
 
@@ -245,14 +306,17 @@ def chunk_episode_data(data: Dict[str, np.ndarray], min_steps: int):
     return chunks
 
 
-def create_policy(policy_type: str, env, model_conf):
-    """(reference: generator.py:262-300.)"""
+def create_policy(policy_type: str, env, model_conf, n_envs: int = 1):
+    """(reference: generator.py:262-300; n_envs>1 selects the batched
+    network policy for the vectorized generator loop.)"""
     if policy_type == "network":
         conf = model_conf
         from .models.dreamer import Dreamer
         assert conf.model == "dreamer", conf.model
         model = Dreamer(conf)
         preprocess = Preprocessor.from_conf(conf)
+        if n_envs > 1:
+            return VectorNetworkPolicy(model, preprocess, n_envs)
         return NetworkPolicy(model, preprocess)
 
     if policy_type == "random":
@@ -324,12 +388,54 @@ class NetworkPolicy:
         self.rng, key = jax.random.split(self.rng)
         action, new_state, metrics = self._infer(self.params, batch, self.state, key)
         self.state = new_state
-        mets = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        # inference metrics are per-slot (B,) arrays; B == 1 here.
+        mets = {k: float(np.asarray(v).item())
+                for k, v in jax.device_get(metrics).items()}
         # (T=1, B=1, A) => (A,). Index, don't squeeze(): a full squeeze would
         # also drop A when A == 1 (1-dim continuous envs like DMC cartpole)
         # and break the env wrappers' action-shape contract.
         action = np.asarray(action)[0, 0]
         return action, mets
+
+
+class VectorNetworkPolicy:
+    """Batched Dreamer inference over N env instances: ONE jitted
+    (T=1, B=N) step per tick instead of N single-slot calls.
+
+    TPU-idiomatic answer to the reference's per-env python inference
+    (reference: generator.py:303-331 + the `vectorenv` preset): the RSSM
+    posterior step and actor MLP batch over the env axis, so per-call
+    dispatch overhead is paid once per tick. Per-slot TBTT state lives in
+    the (N, ...) state arrays; a slot is zeroed when its obs carries
+    reset=True (same mechanism the learner's scan uses).
+    """
+
+    def __init__(self, model, preprocess: Preprocessor, n_envs: int):
+        import jax
+        self.model = model
+        self.preprocess = preprocess
+        self.n_envs = n_envs
+        self.params = None
+        self.state = model.init_state(n_envs)
+        self.rng = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+        self._infer = jax.jit(model.inference)
+
+    def set_params(self, params):
+        self.params = params
+
+    def __call__(self, obs_list) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        import jax
+        assert self.params is not None, "VectorNetworkPolicy used before checkpoint load"
+        assert len(obs_list) == self.n_envs
+        # Stack N obs dicts -> (N, ...), add T axis -> (1, N, ...).
+        stacked = {k: np.stack([o[k] for o in obs_list])[np.newaxis]
+                   for k in obs_list[0]}
+        batch = self.preprocess.apply(stacked)
+        self.rng, key = jax.random.split(self.rng)
+        action, new_state, metrics = self._infer(self.params, batch, self.state, key)
+        self.state = new_state
+        mets = {k: np.asarray(v) for k, v in jax.device_get(metrics).items()}
+        return np.asarray(action)[0], mets   # (N, A), {k: (N,)}
 
 
 if __name__ == "__main__":

@@ -176,6 +176,8 @@ def launch_generator(ctx, env_id, conf, save_uri, save_uri2=None,
             split_fraction=split_fraction,
             metrics_prefix=metrics_prefix,
             metrics_gamma=conf.gamma,
+            log_every=conf.get("generator_log_every", 10),
+            envs_per_worker=conf.get("generator_envs_per_worker", 1),
         ),))
     p.start()
     return p

@@ -313,9 +313,11 @@ class Dreamer:
         action_distr = self.ac.forward_actor(params["actor"], feature)
         value = self.ac.forward_value(params["critic"], feature)
         action = action_distr.sample(k_act)
-        metrics = dict(policy_value=value.mean(),
-                       policy_entropy=action_distr.entropy().mean(),
-                       action_prob=jnp.exp(action_distr.log_prob(action)).mean())
+        # Per-slot (B,) metrics: the batched generator (VectorNetworkPolicy)
+        # attributes them to each env's episode; B=1 callers float() them.
+        metrics = dict(policy_value=value[0],
+                       policy_entropy=action_distr.entropy()[0],
+                       action_prob=jnp.exp(action_distr.log_prob(action))[0])
         return action, out_state, metrics
 
     # -- imagination ------------------------------------------------------

@@ -6,7 +6,9 @@ processes poison every Run write method first, so any regression of the
 process-0 gating (metrics / checkpoints / npz / text written by a non-main
 process) crashes this worker and fails the parent test.
 
-Usage: python tests/multihost_worker.py <data_dir> <run_dir>
+Usage: python tests/multihost_worker.py <data_dir> <run_dir> [n_steps]
+       n_steps > the checkpointed step makes a relaunch resume the run
+       (tests the checkpoint -> mesh place_like path).
 Env:   JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set by
        the parent test; XLA_FLAGS forces 2 local CPU devices per process.
 """
@@ -19,6 +21,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 def main():
     data_dir, run_dir = sys.argv[1], sys.argv[2]
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     pid = int(os.environ["JAX_PROCESS_ID"])
 
     import jax
@@ -43,7 +46,7 @@ def main():
         deter_dim=32, stoch_dim=4, stoch_discrete=4, hidden_dim=32,
         cnn_depth=4, imag_horizon=3,
         reward_decoder_layers=1, terminal_decoder_layers=1,
-        n_steps=4, n_env_steps=10**9, log_interval=2, logbatch_interval=3,
+        n_steps=n_steps, n_env_steps=10**9, log_interval=2, logbatch_interval=3,
         save_interval=2, eval_interval=3, data_workers=2,
         generator_workers=0, generator_workers_train=0, generator_workers_eval=0,
         generator_prefill_steps=0, generator_prefill_policy="random",

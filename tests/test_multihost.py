@@ -38,12 +38,9 @@ def _collect(dirpath, steps=150):
              steps_per_npz=50, log_metrics=False)
 
 
-@pytest.mark.slow
-def test_two_process_spmd_training(tmp_path):
-    data_dir = tmp_path / "offline_data"
-    run_dir = tmp_path / "run"
-    _collect(data_dir)
-
+def _spawn_workers(data_dir, run_dir, n_steps=None):
+    """Run 2 jax.distributed CPU worker processes to completion; returns
+    their combined outputs (asserts both exited 0 and reported MHOK)."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -56,10 +53,12 @@ def test_two_process_spmd_training(tmp_path):
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=str(REPO_ROOT),
         )
+        cmd = [sys.executable, str(REPO_ROOT / "tests" / "multihost_worker.py"),
+               str(data_dir), str(run_dir)]
+        if n_steps is not None:
+            cmd.append(str(n_steps))
         procs.append(subprocess.Popen(
-            [sys.executable, str(REPO_ROOT / "tests" / "multihost_worker.py"),
-             str(data_dir), str(run_dir)],
-            env=env, cwd=str(REPO_ROOT),
+            cmd, env=env, cwd=str(REPO_ROOT),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
     outs = []
@@ -73,6 +72,16 @@ def test_two_process_spmd_training(tmp_path):
         outs.append(out)
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"MHOK {pid}" in out
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_spmd_training(tmp_path):
+    data_dir = tmp_path / "offline_data"
+    run_dir = tmp_path / "run"
+    _collect(data_dir)
+
+    outs = _spawn_workers(data_dir, run_dir)
 
     # Process 0 wrote metrics; steps are unique (no duplicate writers).
     metrics = Run(run_dir).read_metrics()
@@ -88,6 +97,48 @@ def test_two_process_spmd_training(tmp_path):
     # The logbatch fetch path ran: d2_wm_closed artifacts exist.
     closed = list((run_dir / "d2_wm_closed").glob("*.npz"))
     assert closed, "log_batch_npz (collective fetch path) wrote nothing"
+
+
+@pytest.mark.slow
+def test_two_process_resume_from_checkpoint(tmp_path):
+    """Kill-and-relaunch: a 2-process SPMD session trains to step k and
+    exits; a fresh 2-process session over the same run dir must restore the
+    checkpoint onto the mesh (parallel/mesh.py place_like) and continue from
+    k — the one multihost path round 2 left untested
+    (reference resume: train.py:114-116)."""
+    data_dir = tmp_path / "offline_data"
+    run_dir = tmp_path / "run"
+    _collect(data_dir)
+
+    # Phase 1: train to step 3 (checkpoint lands at step 2, save_interval=2).
+    _spawn_workers(data_dir, run_dir, n_steps=3)
+    from pydreamer_tpu.tracking import load_checkpoint_file
+    ck = load_checkpoint_file(run_dir / "checkpoints" / "latest.ckpt")
+    assert ck is not None
+    _, step1 = ck
+    assert step1 >= 2
+
+    # Phase 2: fresh processes, same run dir, higher n_steps.
+    outs = _spawn_workers(data_dir, run_dir, n_steps=6)
+    for pid, out in enumerate(outs):
+        assert "Loaded model from checkpoint epoch" in out, (
+            f"process {pid} did not resume:\n{out[-2000:]}")
+
+    ck = load_checkpoint_file(run_dir / "checkpoints" / "latest.ckpt")
+    state_dict, step2 = ck
+    assert step2 == 6, f"resumed run did not continue to n_steps (at {step2})"
+    # Restored-and-trained params are finite host arrays.
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(state_dict["params"])]
+    assert all(np.isfinite(l).all() for l in leaves)
+
+    # Metric steps stay unique across the two sessions (no double-writes
+    # from the relaunch).
+    metrics = Run(run_dir).read_metrics()
+    trained = [m for m in metrics if "train/loss_model" in m]
+    steps = [m.get("_step") for m in trained]
+    assert len(steps) == len(set(steps)), f"duplicate metric steps: {steps}"
+    assert max(steps) > step1
 
 
 @pytest.mark.slow
