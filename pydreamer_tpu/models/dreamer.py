@@ -333,12 +333,20 @@ class Dreamer:
         """
         wm_params = sg(params["wm"])
         actor_params = params["actor"]
-        keys = jax.random.split(key, imag_horizon)
         # NB: unlike the RSSM forward scan (rssm.py — pre-drawn noise wins
         # there), the dream scan draws its z noise per step INSIDE the scan:
         # the (H, M, S, K) noise tensor is ~90 MB at the flagship config and
         # streaming it through the scan cost more than it saved (measured on
         # chip: dream while-op 3.55 -> 4.0 ms/step with hoisted noise).
+        # The in-scan bits instead come from the TPU's hardware generator
+        # (`rbg` impl -> XLA RngBitGenerator): threefry spends ~20 VPU ops
+        # per random word on the sequential critical path, the hardware RNG
+        # ~none. Exploration noise needs no counter-exact stream; set
+        # dream_rng: threefry to force the legacy path.
+        if self.conf.get("dream_rng", "rbg") == "rbg":
+            key = jax.random.wrap_key_data(
+                jnp.tile(jax.random.key_data(key), 2), impl="rbg")
+        keys = jax.random.split(key, imag_horizon)
         M = in_state[0].shape[0]
 
         def step(state, k):
