@@ -155,3 +155,100 @@ def test_full_topology_launch(tmp_path):
     assert trained and np.isfinite(trained[-1]["train/loss_model"])
     assert (run_dir / "checkpoints" / "latest.ckpt").exists()
     assert "Learner finished; shutting down generators." in out
+
+
+class TestTpuLauncher:
+    """The managed cloud sweep controller (scripts/tpu_launcher.py) — gcloud
+    is faked with an injected runner, so these test the lifecycle logic:
+    create-or-reuse, launch, status polling, preemption-resume, teardown
+    (reference: scripts/xlauncher.py:50-146 JobGroup management)."""
+
+    def _args(self, **over):
+        import argparse
+        d = dict(name="exp", tpu_type="v5litepod-8", version="v", zone="z",
+                 configlist=["defaults atari"], seeds=2, gcs="gs://b/runs",
+                 workdir="~/w", extra="", spot=True)
+        d.update(over)
+        return argparse.Namespace(**d)
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+        spec = importlib.util.spec_from_file_location(
+            "tpu_launcher",
+            Path(__file__).resolve().parent.parent / "scripts" / "tpu_launcher.py")
+        mod = importlib.util.module_from_spec(spec)
+        import sys
+        sys.modules[spec.name] = mod  # dataclasses needs the module registered
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_sweep_expansion_and_resume_id(self):
+        m = self._load()
+        jobs = m.build_jobs(self._args())
+        assert len(jobs) == 2
+        assert jobs[0].name == "exp-defaults-atari-s0"
+        cmd = jobs[0].train_command()
+        # Relaunches resume the same run: resume id == run name.
+        assert "PYDREAMER_RESUME_ID=exp-defaults-atari-s0" in cmd
+        assert "--run_dir gs://b/runs/exp-defaults-atari-s0" in cmd
+        assert "--seed 0" in cmd
+        assert "--spot" in " ".join(jobs[0].create_cmd())
+
+    def test_lifecycle_create_launch_done_teardown(self):
+        m = self._load()
+        job = m.build_jobs(self._args(seeds=1))[0]
+        calls = []
+
+        def runner(cmd):
+            calls.append(cmd)
+            if "describe" in cmd:
+                # Absent at first (create path), READY afterwards.
+                return (1, "") if not any("create" in c for c in calls[:-1]) \
+                    else (0, "READY")
+            if "--command" in cmd and m.DONE_MARKER in cmd[-1] and "nohup" not in cmd[-1]:
+                return 0, "DONE"
+            return 0, ""
+
+        ctl = m.Controller(runner=runner)
+        assert ctl.ensure_tpu(job)
+        assert any("create" in c for c in calls[-1])
+        assert ctl.launch(job) and job.state == "RUNNING"
+        assert ctl.poll(job) == "DONE"
+        ctl.teardown([job])
+        assert "delete" in calls[-1]
+
+    def test_preemption_recreates_and_resumes(self):
+        m = self._load()
+        job = m.build_jobs(self._args(seeds=1))[0]
+        job.state = "RUNNING"
+        vm = {"state": "PREEMPTED"}
+        calls = []
+
+        def runner(cmd):
+            calls.append(cmd)
+            if "describe" in cmd:
+                return (1, "") if vm["state"] == "ABSENT" else (0, vm["state"])
+            if "delete" in cmd:
+                vm["state"] = "ABSENT"
+            if "create" in cmd:
+                vm["state"] = "READY"
+            return 0, ""
+
+        ctl = m.Controller(runner=runner)
+        state = ctl.poll(job)
+        assert state == "RUNNING" and job.restarts == 1
+        flat = ["|".join(c) for c in calls]
+        assert any("delete" in f for f in flat)      # preempted VM removed
+        assert any("create" in f for f in flat)      # fresh VM
+        # Relaunched with the same resume id.
+        relaunch = [c for c in calls if "--command" in c and "nohup" in c[-1]]
+        assert relaunch and "PYDREAMER_RESUME_ID=" + job.name in relaunch[-1][-1]
+
+    def test_restart_cap_fails_job(self):
+        m = self._load()
+        job = m.build_jobs(self._args(seeds=1))[0]
+        job.state = "RUNNING"
+        job.restarts = 2
+        ctl = m.Controller(runner=lambda cmd: (0, "PREEMPTED"), max_restarts=2)
+        assert ctl.poll(job) == "FAILED"
