@@ -62,6 +62,8 @@ def main(env_id: str = "Grid-8",
          log_every: int = 10):
 
     configure_logging(prefix=f"[GEN {worker_id}]", color=LogColorFormatter.GREEN)
+    from .tools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # policy jit reuses across restarts
     run_ = init_run()
     logger.info("Generator %d started: env=%s, n_steps=%s, n_prefill=%s, "
                 "split_fraction=%s, save_uri=%s",

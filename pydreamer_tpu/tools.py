@@ -23,6 +23,37 @@ logger = logging.getLogger("pydreamer_tpu")
 _printed_once = set()
 
 
+def enable_persistent_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point JAX at an on-disk compilation cache shared across processes.
+
+    TPU train-step compiles are minutes-long (on remote-compile images even
+    longer); every learner recycle, resumed segment, and generator restart
+    would otherwise pay that again. With the cache, only the first process
+    ever compiles — relaunches deserialize the executable in seconds. No
+    reference counterpart (torch has no AOT compile step); standard JAX
+    production practice.
+
+    Resolution: explicit arg > JAX_COMPILATION_CACHE_DIR env >
+    ~/.cache/pydreamer_tpu/jax_cache. Returns the cache dir (None if the
+    backend rejects the config — older jax versions)."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or os.path.expanduser("~/.cache/pydreamer_tpu/jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache everything that took meaningful compile time; the default
+        # threshold skips small jits that relaunches still pay for.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return path
+    except Exception:
+        return None
+
+
 def print_once(msg: str, *args):
     if msg not in _printed_once:
         _printed_once.add(msg)

@@ -55,6 +55,10 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     if conf.get("platform"):
         # debug preset runs the learner on host CPU (reference `device: cpu`)
         jax.config.update("jax_platforms", str(conf.platform))
+    from ..tools import enable_persistent_compilation_cache
+    cache_dir = enable_persistent_compilation_cache(conf.get("jax_cache_dir"))
+    if cache_dir:
+        logger.info("JAX compilation cache: %s", cache_dir)
     from ..parallel.multihost import (is_main_process, local_batch_size,
                                       maybe_initialize_distributed)
     maybe_initialize_distributed()

@@ -38,3 +38,23 @@ def test_discount():
     x = np.array([1.0, 0.0, 0.0, 1.0])
     out = discount(x, gamma=0.5)
     np.testing.assert_allclose(out, [1.125, 0.25, 0.5, 1.0], rtol=1e-6)
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points JAX at a shared on-disk
+    cache so relaunched processes (learner recycles, resumed segments) skip
+    recompilation."""
+    import jax
+    from pydreamer_tpu.tools import enable_persistent_compilation_cache
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_persistent_compilation_cache(str(tmp_path / "cache"))
+        assert d == str(tmp_path / "cache")
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+        # env-var resolution
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env"))
+        assert enable_persistent_compilation_cache() == str(tmp_path / "env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
