@@ -35,13 +35,23 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> Optional[
 
     Resolution: explicit arg > JAX_COMPILATION_CACHE_DIR env >
     ~/.cache/pydreamer_tpu/jax_cache. Returns the cache dir (None if the
-    backend rejects the config — older jax versions)."""
+    backend rejects the config — older jax versions).
+
+    CPU backends are skipped unless a dir is explicitly given: XLA:CPU
+    compiles are fast anyway, and its AOT loader warns (and may miscompile)
+    when cached machine-feature flags don't match the loading process."""
     import os
 
     import jax
 
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") \
-        or os.path.expanduser("~/.cache/pydreamer_tpu/jax_cache")
+    explicit = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not explicit:
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:
+            return None
+    path = explicit or os.path.expanduser("~/.cache/pydreamer_tpu/jax_cache")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
