@@ -19,6 +19,9 @@ BASELINE_STEPS_PER_SEC = 1.4  # reference on NVIDIA T4 (BASELINE.md)
 def main():
     import jax
 
+    from pydreamer_tpu.tools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # reuse compiles across invocations
+
     from __graft_entry__ import _make_batch, _make_conf
     from pydreamer_tpu.models.dreamer import Dreamer
     from pydreamer_tpu.training.train_step import TrainStep

@@ -81,6 +81,9 @@ def main():
     quick = "--quick" in sys.argv
     import jax
 
+    from pydreamer_tpu.tools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     from __graft_entry__ import _make_batch, _make_conf
     from pydreamer_tpu.data import (ParallelLoader, Preprocessor,
                                     SequentialDataset, make_repository,
@@ -147,6 +150,42 @@ def main():
     timed_pipeline_steps(n_warm, 100)     # warm the stream + caches
     sps_pipe = timed_pipeline_steps(n_meas, 200)
 
+    # --- 1b. stage-by-stage host breakdown --------------------------------
+    # Each stage timed with the rest of the pipeline idle; see PERF.md for
+    # why the serialized sum exceeds the live pipeline-fed number (cross-
+    # stage CPU interference on small hosts).
+    n_bd = 8 if quick else 15
+    raw_iter = iter(ParallelLoader(make_stream, num_workers=2))
+    raw_batch, _ = next(raw_iter)
+    t0 = time.perf_counter()
+    for _ in range(n_bd):
+        raw_batch, _ = next(raw_iter)
+    host_ms = (time.perf_counter() - t0) / n_bd * 1e3
+
+    batch_mb = sum(v.nbytes for v in raw_batch.values()) / 1e6
+    put_ms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(raw_batch)
+        jax.block_until_ready(dev)
+        # Force materialization: block_until_ready can return early on
+        # remote backends; fetching a corner of every leaf cannot.
+        for v in dev.values():
+            np.asarray(v.ravel()[-1:])
+        put_ms.append((time.perf_counter() - t0) * 1e3)
+        raw_batch, _ = next(raw_iter)
+    put_ms = float(np.median(put_ms))
+    device_step_ms = 1e3 / sps_const
+
+    host_breakdown = {
+        "host_stream_ms_per_batch": round(host_ms, 1),
+        "host_stream_batches_per_sec": round(1e3 / host_ms, 2),
+        "device_put_ms_per_batch": round(put_ms, 1),
+        "device_put_MB_per_batch": round(batch_mb, 1),
+        "tunnel_bandwidth_MB_per_sec": round(batch_mb / (put_ms / 1e3), 1),
+        "device_step_ms": round(device_step_ms, 1),
+    }
+
     # --- 2. concurrent generator (network policy on host CPU) -------------
     run_dir = str(Path(tmp) / "run")
     from pydreamer_tpu.tracking import Run
@@ -162,6 +201,17 @@ def main():
 
     gen_steps = 600 if quick else 2_000
     ctx = mp.get_context("spawn")
+
+    # 2a. generator SOLO (host to itself) — the uncontended agent rate.
+    proc = ctx.Process(target=run_generator,
+                       args=(run_dir, str(Path(tmp) / "gen_episodes_solo"),
+                             gen_conf, gen_steps // 2), daemon=True)
+    t0 = time.perf_counter()
+    proc.start()
+    proc.join()
+    agent_sps_solo = (gen_steps // 2) / (time.perf_counter() - t0)
+
+    # 2b. generator concurrent with the stepping learner (the real topology).
     proc = ctx.Process(target=run_generator,
                        args=(run_dir, str(Path(tmp) / "gen_episodes"),
                              gen_conf, gen_steps), daemon=True)
@@ -191,9 +241,14 @@ def main():
             "grad_steps_per_sec_const_batch": round(sps_const, 3),
             "grad_steps_per_sec_with_generator": round(sps_concurrent, 3),
             "agent_steps_per_sec": round(agent_sps, 2),
+            "agent_steps_per_sec_solo": round(agent_sps_solo, 2),
             "agent_steps_vs_t4": round(agent_sps / REF_AGENT_STEPS, 2),
             "train_every": round(train_every, 2),
         },
+        "host_breakdown": host_breakdown,
+        "note": ("agent/concurrent numbers include generator spawn+jit in "
+                 "the timed window; treat grad_steps_per_sec_with_generator "
+                 "as an upper bound (see BENCH_E2E.json provenance)"),
     }))
 
 
