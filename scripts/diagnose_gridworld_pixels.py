@@ -40,6 +40,8 @@ def main():
     p.add_argument("--gamma", type=float, default=0.9)
     p.add_argument("--imag_horizon", type=int, default=8)
     p.add_argument("--data_steps", type=int, default=1200)
+    p.add_argument("--online_every", type=int, default=0,
+                   help=">0: collect 1 episode with the current policy every N grad steps")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -68,9 +70,30 @@ def main():
     preprocess = Preprocessor.from_conf(conf)
     dataset = SequentialDataset(
         make_repository(data_dir), conf.batch_length, conf.batch_size,
-        skip_first=True, reset_interval=0, seed=args.seed)
+        skip_first=True, reload_interval=5 if args.online_every else 0,
+        buffer_size=500_000, reset_interval=0, seed=args.seed)
     data_iter = iter(ParallelLoader(lambda wid: preprocess(iter(dataset)),
                                     num_workers=0))
+
+    repo = make_repository(data_dir)
+    online_env = create_env(env_id, False, args.time_limit, 1, 50 + args.seed)
+    online_policy = NetworkPolicy(model, Preprocessor.from_conf(conf))
+    ep_counter = [10_000]
+
+    def collect_online(params):
+        online_policy.set_params(params)
+        online_policy.state = model.init_state(1)
+        obs = online_env.reset()
+        done = False
+        while not done:
+            action, _ = online_policy(obs)
+            obs, _r, done, info = online_env.step(action)
+        data = info["episode"]
+        for k in ("policy_value", "policy_entropy", "action_prob"):
+            data[k] = np.full(data["reward"].shape, np.nan)
+        repo.save_data(data, ep_counter[0], ep_counter[0])
+        ep_counter[0] += 1
+        return float(data["reward"].sum())
 
     def live_returns(params, episodes, seed):
         env = create_env(env_id, False, args.time_limit, 1, seed)
@@ -98,6 +121,8 @@ def main():
             batch, _wid = next(data_iter)
             params, opt_state, state, metrics, _, _ = trainstep(
                 params, opt_state, batch, state, i, rng)
+            if args.online_every and i % args.online_every == 0:
+                collect_online(params)
         m = {k: float(v) for k, v in jax.device_get(metrics).items()}
         ret = live_returns(params, 30, 100 + i)
         print(f"step {i:5d} return {ret:6.2f} ent {m['policy_entropy']:6.3f} "
