@@ -238,6 +238,16 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
 
             with Timer("data"):
                 batch, wid, data_stats = next(data_iter)
+                # Fail fast with a config-level message instead of a flax
+                # param-shape error minutes later inside the jit trace
+                # (live failure: `--configs dmc` pins action_dim=12 for
+                # quadruped; cartpole data has 1-dim actions).
+                if "action" in batch and batch["action"].shape[-1] != conf.action_dim:
+                    raise ValueError(
+                        f"conf.action_dim={conf.action_dim} but the replay "
+                        f"data has action dim {batch['action'].shape[-1]} — "
+                        f"pass --action_dim matching the env "
+                        f"(env_id={conf.get('env_id')})")
 
             with Timer("step"):
                 state = states.get(wid)

@@ -30,7 +30,7 @@ while [ "$cur" -lt "$TARGET_STEPS" ]; do
   echo "=== segment to step $cur ==="
   timeout 5400 python -m pydreamer_tpu.launch \
     --configs defaults dmc \
-    --env_id DMC-cartpole_balance \
+    --env_id DMC-cartpole_balance --action_dim 1 \
     --run_dir "$RUN_DIR" \
     --n_steps "$cur" \
     --gamma 0.99 --batch_size 16 \
