@@ -25,6 +25,54 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
+def gspmd_overhead(args):
+    """On the real chip: the SAME flagship step, plain jit vs jitted through
+    a 1-device ('data',) mesh — the GSPMD path must cost ~nothing.
+    Fills SCALING.json's real_chip_gspmd_overhead section."""
+    import jax
+
+    from pydreamer_tpu.tools import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+    from __graft_entry__ import _make_conf, _make_batch
+    from pydreamer_tpu.models.dreamer import Dreamer
+    from pydreamer_tpu.parallel import DistributedContext
+    from pydreamer_tpu.training.train_step import TrainStep
+
+    out = {}
+    for mode in ("plain", "gspmd_1dev"):
+        conf = _make_conf(tiny=args.tiny or False)
+        if mode == "gspmd_1dev":
+            conf = conf.replace(mesh_data=1, mesh_model=1)
+        model = Dreamer(conf)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0))
+        ts = TrainStep(model, conf)
+        opt = ts.init_optimizer(params)
+        batch = _make_batch(conf)
+        state = model.init_state(conf.batch_size * conf.iwae_samples)
+        if mode == "gspmd_1dev":
+            ctx = DistributedContext(conf, devices=jax.devices()[:1])
+            params = ctx.place_params(params)
+            opt = ctx.place_opt_state(opt, params)
+            batch = ctx.place_batch(batch)
+            state = ctx.place_state(state)
+        rng = jax.random.PRNGKey(1)
+        fn = ts.jitted(False, False)
+        for i in range(5):
+            params, opt, state, m, *_ = fn(params, opt, batch, state, i, rng)
+        float(m["loss_model"])
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            params, opt, state, m, *_ = fn(params, opt, batch, state, 10 + i, rng)
+        float(m["loss_model"])
+        sps = args.steps / (time.perf_counter() - t0)
+        out[mode] = round(sps, 3)
+        print(json.dumps({"mode": mode, "steps_per_sec": out[mode]}), flush=True)
+    out["gspmd_overhead_pct"] = round(
+        100 * (1 - out["gspmd_1dev"] / out["plain"]), 2)
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="virtual CPU devices")
@@ -34,7 +82,12 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--tiny", action="store_true", default=None,
                    help="tiny model (default on cpu)")
+    p.add_argument("--gspmd-overhead", action="store_true",
+                   help="real-chip plain-vs-1-device-mesh comparison")
     args = p.parse_args()
+
+    if getattr(args, "gspmd_overhead"):
+        return gspmd_overhead(args)
 
     import os
     if args.cpu:
