@@ -59,7 +59,8 @@ def populate_repository(dirpath: str, n_steps: int, image_size: int = 64,
     return repo
 
 
-def run_generator(run_dir: str, save_uri: str, conf_dict: dict, num_steps: int):
+def run_generator(run_dir: str, save_uri: str, conf_dict: dict, num_steps: int,
+                  envs_per_worker: int = 1):
     """Subprocess entry: network-policy generator against the checkpoint in
     run_dir (the launch.py topology, generators pinned to host CPU)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -74,6 +75,7 @@ def run_generator(run_dir: str, save_uri: str, conf_dict: dict, num_steps: int):
     generator.main(env_id="Grid-8x64", save_uri=save_uri,
                    policy_main="network", num_steps=num_steps,
                    env_time_limit=50, model_conf=Conf(conf_dict),
+                   envs_per_worker=envs_per_worker,
                    log_metrics=False, steps_per_npz=500)
 
 
@@ -202,14 +204,20 @@ def main():
     gen_steps = 600 if quick else 2_000
     ctx = mp.get_context("spawn")
 
-    # 2a. generator SOLO (host to itself) — the uncontended agent rate.
-    proc = ctx.Process(target=run_generator,
-                       args=(run_dir, str(Path(tmp) / "gen_episodes_solo"),
-                             gen_conf, gen_steps // 2), daemon=True)
-    t0 = time.perf_counter()
-    proc.start()
-    proc.join()
-    agent_sps_solo = (gen_steps // 2) / (time.perf_counter() - t0)
+    # 2a. generator SOLO (host to itself) — the uncontended agent rate,
+    # single-env and vectorized (generator_envs_per_worker=4).
+    solo = {}
+    for label, n_envs in (("agent_steps_per_sec_solo", 1),
+                          ("agent_steps_per_sec_solo_vec4", 4)):
+        proc = ctx.Process(target=run_generator,
+                           args=(run_dir, str(Path(tmp) / f"gen_{label}"),
+                                 gen_conf, gen_steps // 2, n_envs),
+                           daemon=True)
+        t0 = time.perf_counter()
+        proc.start()
+        proc.join()
+        solo[label] = (gen_steps // 2) / (time.perf_counter() - t0)
+    agent_sps_solo = solo["agent_steps_per_sec_solo"]
 
     # 2b. generator concurrent with the stepping learner (the real topology).
     proc = ctx.Process(target=run_generator,
@@ -242,6 +250,8 @@ def main():
             "grad_steps_per_sec_with_generator": round(sps_concurrent, 3),
             "agent_steps_per_sec": round(agent_sps, 2),
             "agent_steps_per_sec_solo": round(agent_sps_solo, 2),
+            "agent_steps_per_sec_solo_vec4": round(
+                solo["agent_steps_per_sec_solo_vec4"], 2),
             "agent_steps_vs_t4": round(agent_sps / REF_AGENT_STEPS, 2),
             "train_every": round(train_every, 2),
         },
