@@ -28,7 +28,7 @@ while [ "$cur" -lt "$TARGET_STEPS" ]; do
   cur=$((cur + SEGMENT))
   if [ "$cur" -gt "$TARGET_STEPS" ]; then cur="$TARGET_STEPS"; fi
   echo "=== segment to step $cur ==="
-  timeout 5400 python -m pydreamer_tpu.launch \
+  timeout "${SEGMENT_TIMEOUT:-5400}" python -m pydreamer_tpu.launch \
     --configs defaults dmc \
     --env_id DMC-cartpole_balance --action_dim 1 \
     --run_dir "$RUN_DIR" \
