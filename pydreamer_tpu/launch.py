@@ -73,6 +73,19 @@ def launch(argv: Optional[List[str]] = None, config_dir: str = "./config"):
     ctx = mp.get_context("spawn")  # JAX is not fork-safe
     subprocesses: List[mp.Process] = []
 
+    # SIGTERM must reap the worker pool: the default handler exits without
+    # unwinding, so the finally-kill below never runs and the spawned
+    # learner/generators survive as orphans double-writing the run dir
+    # (observed live: an orphaned learner kept training and ping-ponging
+    # checkpoints against its replacement). Raising SystemExit routes the
+    # signal through the try/finally.
+    import signal
+
+    def _terminate(signum, frame):
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _terminate)
+
     # Train+eval generators.
     for i in range(conf.generator_workers):
         if belongs_to_worker("generator", i):

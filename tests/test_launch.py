@@ -252,3 +252,54 @@ class TestTpuLauncher:
         job.restarts = 2
         ctl = m.Controller(runner=lambda cmd: (0, "PREEMPTED"), max_restarts=2)
         assert ctl.poll(job) == "FAILED"
+
+
+@pytest.mark.slow
+def test_sigterm_reaps_worker_pool(tmp_path):
+    """SIGTERM to the launcher must kill the spawned learner + generators:
+    the default handler exits without unwinding, leaving orphans that keep
+    training and double-writing the run dir (observed live in r3 — an
+    orphaned learner ping-ponged checkpoints against its replacement)."""
+    import signal
+    import time as _t
+
+    import psutil
+
+    run_dir = tmp_path / "run"
+    env = dict(os.environ, PYTHONPATH=str(REPO_ROOT))
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pydreamer_tpu.launch",
+         "--configs", "defaults", "gridworld", "debug",
+         "--n_steps", "100000", "--generator_prefill_steps", "100000",
+         "--eval_interval", "0", "--run_dir", str(run_dir)],
+        env=env, cwd=str(REPO_ROOT),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        ps = psutil.Process(proc.pid)
+        deadline = _t.time() + 120
+        children = []
+        while _t.time() < deadline:
+            children = ps.children(recursive=True)
+            # learner + >=1 generator + mp bookkeeping
+            if len([c for c in children if "spawn_main" in " ".join(c.cmdline())]) >= 2:
+                break
+            _t.sleep(1)
+        assert children, "launcher never spawned workers"
+
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+
+        _t.sleep(2)
+        survivors = [c for c in children if c.is_running()
+                     and c.status() != psutil.STATUS_ZOMBIE]
+        assert not survivors, (
+            f"orphaned workers survived SIGTERM: "
+            f"{[(c.pid, ' '.join(c.cmdline())[:60]) for c in survivors]}")
+    finally:
+        try:
+            for c in psutil.Process(proc.pid).children(recursive=True):
+                c.kill()
+        except psutil.NoSuchProcess:
+            pass
+        proc.kill()
