@@ -55,13 +55,16 @@ def run(conf: Conf, run_dir: Optional[str] = None, max_steps: Optional[int] = No
     if conf.get("platform"):
         # debug preset runs the learner on host CPU (reference `device: cpu`)
         jax.config.update("jax_platforms", str(conf.platform))
+    from ..parallel.multihost import (is_main_process, local_batch_size,
+                                      maybe_initialize_distributed)
+    # NB: distributed init MUST precede the cache helper — its backend
+    # probe (jax.default_backend) initializes XLA, and jax.distributed
+    # refuses to initialize afterwards.
+    maybe_initialize_distributed()
     from ..tools import enable_persistent_compilation_cache
     cache_dir = enable_persistent_compilation_cache(conf.get("jax_cache_dir"))
     if cache_dir:
         logger.info("JAX compilation cache: %s", cache_dir)
-    from ..parallel.multihost import (is_main_process, local_batch_size,
-                                      maybe_initialize_distributed)
-    maybe_initialize_distributed()
     multihost = jax.process_count() > 1
     main_process = is_main_process()
     if multihost:
