@@ -63,7 +63,10 @@ def main(env_id: str = "Grid-8",
 
     configure_logging(prefix=f"[GEN {worker_id}]", color=LogColorFormatter.GREEN)
     from .tools import enable_persistent_compilation_cache
-    enable_persistent_compilation_cache()  # policy jit reuses across restarts
+    # Active only when this process sees a TPU backend (standalone generator
+    # runs); under launch.py generators are pinned to CPU, where the helper
+    # deliberately no-ops and policy jit compiles locally in a few seconds.
+    enable_persistent_compilation_cache()
     run_ = init_run()
     logger.info("Generator %d started: env=%s, n_steps=%s, n_prefill=%s, "
                 "split_fraction=%s, save_uri=%s",
@@ -111,9 +114,18 @@ def main(env_id: str = "Grid-8",
         nonlocal episodes, steps_saved, datas, datas_episodes, metrics_agg
         episodes += 1
         if "policy_value" in metrics:
-            data["policy_value"] = np.array(metrics["policy_value"] + [np.nan])
-            data["policy_entropy"] = np.array(metrics["policy_entropy"] + [np.nan])
-            data["action_prob"] = np.array([np.nan] + metrics["action_prob"])
+            # A mid-episode policy switch (prefill -> network in the
+            # vectorized loop) leaves in-flight slots with policy metrics
+            # only from the switch tick on. Pad the head with NaN so every
+            # npz column has the same length as `reward` — otherwise
+            # SequentialDataset's uniform windowing would slice ragged
+            # arrays and crash the data workers.
+            pv, pe, ap = (list(metrics[k]) for k in
+                          ("policy_value", "policy_entropy", "action_prob"))
+            pad = [np.nan] * max(0, epsteps - len(pv))
+            data["policy_value"] = np.array(pad + pv + [np.nan])
+            data["policy_entropy"] = np.array(pad + pe + [np.nan])
+            data["action_prob"] = np.array([np.nan] + pad + ap)
         else:
             # Placeholders so all batches share the same key set.
             for k in ("policy_value", "policy_entropy", "action_prob"):
@@ -255,9 +267,12 @@ def main(env_id: str = "Grid-8",
         # Episodes end (and reset) independently per slot; the RSSM state
         # slot is zeroed by the reset flag the wrapper puts in the obs.
         from .envs import create_env as _create_env
+        # Sibling seeds live in a band disjoint from base-env seeds (which
+        # are small worker ids) and from other workers' sibling bands, so no
+        # two env instances anywhere share a seed stream.
         envs = [env] + [
             _create_env(env_id, env_no_terminal, env_time_limit,
-                        env_action_repeat, worker_id * 1000 + i)
+                        env_action_repeat, 1_000_000 + worker_id * 1000 + i)
             for i in range(1, envs_per_worker)]
         obs_list = [e.reset() for e in envs]
         ep_metrics = [defaultdict(list) for _ in envs]
@@ -269,18 +284,24 @@ def main(env_id: str = "Grid-8",
                 continue
 
             if isinstance(policy, VectorNetworkPolicy):
-                actions, mets = policy(obs_list)   # mets: {k: (N,)}
+                actions, vmets = policy(obs_list)   # vmets: {k: (N,)}
+                per_mets = [{k: float(v[i]) for k, v in vmets.items()}
+                            for i in range(envs_per_worker)]
             else:
+                # Non-batched policies (random/scripted/NetworkPolicy) are
+                # stepped per slot; their per-env metrics are kept so the
+                # vectorized path logs the same agent metrics as the
+                # sequential path.
                 per = [policy(o) for o in obs_list]
                 actions = [a for a, _ in per]
-                mets = {}
+                per_mets = [m for _, m in per]
 
             for i, e in enumerate(envs):
                 obs_i, reward, done, inf = e.step(actions[i])
                 steps += 1
                 ep_steps[i] += 1
-                for k, v in mets.items():
-                    ep_metrics[i][k].append(float(v[i]))
+                for k, v in per_mets[i].items():
+                    ep_metrics[i][k].append(float(v))
                 if done:
                     finish_episode(
                         inf["episode"], ep_metrics[i], ep_steps[i],

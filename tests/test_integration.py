@@ -175,6 +175,56 @@ def test_vectorized_generator_with_random_policy(tiny_conf, tmp_path):
     assert steps >= 120 and episodes >= 3
 
 
+def test_vectorized_policy_switch_pads_metric_columns(tiny_conf, tmp_path,
+                                                      monkeypatch):
+    """Prefill->network switch lands mid-episode in the vectorized loop:
+    in-flight slots accumulate policy metrics only from the switch tick on.
+    finish_episode must pad the head with NaN so every npz column matches
+    the reward length — ragged columns crash the data workers downstream
+    (ADVICE r3 high)."""
+    import jax
+    from pydreamer_tpu.models.dreamer import Dreamer
+    from pydreamer_tpu.tracking import save_checkpoint_file
+
+    run_dir = tmp_path / "run"
+    monkeypatch.setenv("PYDREAMER_RUN_DIR", str(run_dir))
+    model = Dreamer(tiny_conf)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    ckpt = run_dir / "checkpoints" / "latest.ckpt"
+    ckpt.parent.mkdir(parents=True)
+    save_checkpoint_file(ckpt, {"params": params}, 5000)
+
+    save_dir = tmp_path / "episodes"
+    # time_limit 50 on Grid-4 => random-walk episodes end at scattered ticks,
+    # so the first finished episode flips the policy while siblings are
+    # mid-flight.
+    gen.main(env_id="Grid-4x64", save_uri=str(save_dir), worker_id=0,
+             policy_main="network", policy_prefill="random",
+             num_steps=150, num_steps_prefill=10,
+             env_time_limit=50, steps_per_npz=10,
+             envs_per_worker=3, model_conf=tiny_conf,
+             model_reload_interval=1e9, log_metrics=False)
+
+    repo = NpzEpisodeRepository(save_dir)
+    files = repo.list_files()
+    assert files
+    saw_padded = False
+    for f in files:
+        data = f.load_data()
+        n = len(data["reset"])
+        image_keys = {"image_t"}  # stored transposed (H,W,C,T)
+        for k, v in data.items():
+            length = v.shape[-1] if k in image_keys else len(v)
+            assert length == n, (f, k, v.shape, n)
+        # Per-episode audit: a padded slot shows NaN head + real tail.
+        starts = list(np.flatnonzero(data["reset"])) + [n]
+        for a, b in zip(starts[:-1], starts[1:]):
+            pv = data["policy_value"][a:b]
+            if np.isnan(pv[0]) and np.isfinite(pv).any():
+                saw_padded = True
+    assert saw_padded, "no mid-episode switch occurred; test is vacuous"
+
+
 def test_vector_network_policy_batched_inference():
     """VectorNetworkPolicy: one (T=1,B=N) jitted call returns per-slot
     actions + per-slot metric arrays, and slot states reset independently
