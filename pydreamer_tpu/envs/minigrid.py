@@ -18,7 +18,7 @@ import numpy as np
 from .base import Discrete, Env
 
 __all__ = ["MiniGrid", "MinigridWanderPolicy", "view_to_global_coords",
-           "update_last_seen", "centered_map"]
+           "update_last_seen", "centered_map", "map_observation"]
 
 # dir 0..3 = right, down, left, up (minigrid DIR_TO_VEC); right_vec is the
 # forward vector rotated clockwise.
@@ -83,6 +83,45 @@ def centered_map(grid: np.ndarray, agent_pos, agent_dir: int,
     return np.ascontiguousarray(out)
 
 
+def map_observation(grid: np.ndarray, agent_pos, agent_dir: int,
+                    obs_vis: np.ndarray, last_seen: np.ndarray,
+                    vis_cap: int, centered_size: int,
+                    agent_class: int = 11) -> dict:
+    """The full map-observation family from one global class grid.
+
+    Pure function (SDK-free, testable) producing the reference's map keys
+    (reference: pydreamer/envs/minigrid.py:111-118):
+      * ``map``         — global grid WITHOUT the agent
+      * ``map_agent``   — global grid with the agent cell stamped
+      * ``map_masked``  — ``map_agent`` with currently-invisible cells
+                          zeroed to the unseen class (0)
+      * ``map_vis``     — per-cell visibility age (0 = visible now)
+      * ``map_centered``— agent-centered, agent-oriented crop
+
+    ``obs_vis`` is the egocentric view's seen-mask (view coords);
+    ``last_seen`` is the persistent age array, mutated in place.
+    """
+    ax, ay = int(agent_pos[0]), int(agent_pos[1])
+    m_agent = grid.copy()
+    m_agent[ax, ay] = agent_class
+
+    n = obs_vis.shape[0]
+    vx, vy, in_bounds = view_to_global_coords(
+        agent_pos, agent_dir, n, grid.shape[0], grid.shape[1])
+    glb_vis = np.zeros(grid.shape, bool)
+    glb_vis[vx[in_bounds], vy[in_bounds]] = obs_vis[in_bounds]
+    map_vis = update_last_seen(last_seen, glb_vis, vis_cap).copy()
+
+    return {
+        "map": grid,
+        "map_agent": m_agent,
+        "map_masked": (m_agent * glb_vis).astype(grid.dtype),
+        "map_vis": map_vis,
+        "map_centered": centered_map(grid, agent_pos, agent_dir,
+                                     centered_size),
+    }
+
+
 class MiniGrid(Env):
 
     # object-type ids (minigrid core constants): collapse to compact classes
@@ -136,32 +175,17 @@ class MiniGrid(Env):
     def _obs(self, o) -> dict:
         u = self._env.unwrapped
         image = self._compact(o["image"])
-        full = u.grid.encode()
-        grid = self._compact(full)
-        m = grid.copy()
-        ax, ay = u.agent_pos
-        m[ax, ay] = 11
-
-        # Visibility-age map: project the raw view's seen cells (obj id > 0)
-        # onto the global grid and advance the per-cell age.
-        vx, vy, in_bounds = view_to_global_coords(
-            u.agent_pos, int(u.agent_dir), o["image"].shape[0],
-            u.grid.width, u.grid.height)
-        obs_vis = o["image"][..., 0] > 0
-        glb_vis = np.zeros((u.grid.width, u.grid.height), bool)
-        glb_vis[vx[in_bounds], vy[in_bounds]] = obs_vis[in_bounds]
-        map_vis = update_last_seen(self._last_seen, glb_vis, self._vis_cap).copy()
-
-        return {
-            "image": image,
-            "map": m,
-            "map_vis": map_vis,
-            "map_centered": centered_map(grid, u.agent_pos, int(u.agent_dir),
-                                         self.map_centered_size),
-            "agent_pos": np.array(u.agent_pos, np.float32),
-            "agent_dir": np.array([np.cos(u.agent_dir * np.pi / 2),
-                                   np.sin(u.agent_dir * np.pi / 2)], np.float32),
-        }
+        grid = self._compact(u.grid.encode())
+        # obs_vis: the raw view's seen cells (obj id > 0), view coords.
+        obs = map_observation(grid, u.agent_pos, int(u.agent_dir),
+                              o["image"][..., 0] > 0, self._last_seen,
+                              self._vis_cap, self.map_centered_size)
+        obs["image"] = image
+        obs["agent_pos"] = np.array(u.agent_pos, np.float32)
+        obs["agent_dir"] = np.array([np.cos(u.agent_dir * np.pi / 2),
+                                     np.sin(u.agent_dir * np.pi / 2)],
+                                    np.float32)
+        return obs
 
     def reset(self):
         if self._needs_seed:

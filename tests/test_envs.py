@@ -227,6 +227,59 @@ class TestMinigridMapMemory:
         m = centered_map(np.ones((W, H), np.int64), (0, 0), 3, 2 * W - 3)
         assert (m == 2).any()
 
+    def test_map_observation_reference_key_family(self):
+        """map_observation emits the reference's full map-key set with its
+        semantics: `map` agentless, `map_agent` stamps the agent cell,
+        `map_masked` zeroes currently-invisible cells to the unseen class
+        (reference: pydreamer/envs/minigrid.py:111-118)."""
+        from pydreamer_tpu.envs.minigrid import map_observation
+        W = H = 9
+        grid = np.ones((W, H), np.int64)
+        grid[0, :] = grid[-1, :] = grid[:, 0] = grid[:, -1] = 2  # walls
+        grid[7, 7] = 9  # goal
+        last_seen = np.full((W, H), 500, np.uint16)
+        obs_vis = np.ones((7, 7), bool)  # whole view visible
+        obs = map_observation(grid, (4, 4), 3, obs_vis, last_seen,
+                              vis_cap=500, centered_size=2 * W - 3)
+        assert set(obs) == {"map", "map_agent", "map_masked", "map_vis",
+                            "map_centered"}  # reference key family
+        assert obs["map"][4, 4] == 1              # agentless
+        assert obs["map_agent"][4, 4] == 11       # agent stamped
+        assert (obs["map"] != 11).all()
+        # facing up (dir 3): the row ahead is visible, cells behind are not
+        assert obs["map_masked"][4, 4] == 11      # agent cell visible
+        assert obs["map_masked"][4, 3] == obs["map_agent"][4, 3]  # ahead kept
+        assert obs["map_masked"][4, 8] == 0       # behind -> unseen class
+        assert obs["map_agent"][4, 8] != 0
+        # map_vis: visible cells age 0, never-seen carry the cap
+        assert obs["map_vis"][4, 4] == 0 and obs["map_vis"][4, 8] == 500
+
+    def test_preprocessor_image_key_map_masked(self):
+        """`image_key: map_masked` drives the model's image stream from the
+        masked map, one-hot over the categorical classes (reference:
+        preprocessing.py:107)."""
+        from tests.util import make_conf
+        from pydreamer_tpu.data import Preprocessor
+        T, B, N = 3, 2, 7
+        conf = make_conf(image_key="map_masked", image_channels=12,
+                         image_categorical=True, map_key="map",
+                         map_channels=12, map_categorical=True,
+                         map_size=N, action_dim=3)
+        rng = np.random.RandomState(0)
+        masked = rng.randint(0, 12, (T, B, N, N)).astype(np.uint8)
+        batch = {
+            "map": rng.randint(0, 12, (T, B, N, N)).astype(np.uint8),
+            "map_masked": masked,
+            "action": rng.randint(0, 3, (T, B)),
+            "reward": np.zeros((T, B), np.float32),
+            "terminal": np.zeros((T, B), np.float32),
+            "reset": np.zeros((T, B), bool),
+        }
+        out = Preprocessor.from_conf(conf).apply(batch)
+        assert out["image"].shape == (T, B, N, N, 12)
+        np.testing.assert_array_equal(out["image"].argmax(-1), masked)
+        assert out["map"].dtype == np.int32  # probe target intact
+
     def test_seen_mask_probe_accuracy_activates(self):
         """End-to-end: minigrid-shaped data with map_vis flows through the
         Preprocessor into MapProbeHead and produces a finite acc_map_seen
