@@ -169,7 +169,15 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
     data corrects the advantage estimates exactly as the live run does.
     The gate compares the collected episodes' returns early vs late —
     hundreds of on-policy episodes, so the improvement estimate has far
-    less variance than an endpoint rollout eval."""
+    less variance than an endpoint rollout eval.
+
+    The run is DETERMINISTIC (VERDICT r3 weak #5 — CI budget): the policy
+    RNG is seeded and the dataset re-lists the repository after every
+    collected episode instead of on a wall-clock interval, so the online
+    data mix depends only on the step count, never on host timing. The
+    trajectory therefore always passes at the same step (~1100 when
+    calibrated); the 4000-step adaptive ceiling remains purely as a
+    regression margin."""
     env_id = "Grid-4x64"
     time_limit = 16
     conf = make_conf(
@@ -192,7 +200,7 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
     repo = make_repository(str(data_dir))
     dataset = SequentialDataset(
         repo, conf.batch_length, conf.batch_size,
-        skip_first=True, reload_interval=5, buffer_size=500_000,
+        skip_first=True, reload_interval=0, buffer_size=500_000,
         reset_interval=0, seed=0)
     data_iter = iter(ParallelLoader(lambda wid: preprocess(iter(dataset)),
                                     num_workers=0))
@@ -201,6 +209,7 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
                              env_time_limit=time_limit,
                              env_action_repeat=1, worker_id=50)
     collect_policy = NetworkPolicy(model, Preprocessor.from_conf(conf))
+    collect_policy.rng = jax.random.PRNGKey(123)  # deterministic actions
 
     def collect_online(params, ep_id):
         collect_policy.set_params(params)
@@ -214,6 +223,8 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
         for k in ("policy_value", "policy_entropy", "action_prob"):
             data[k] = np.full(data["reward"].shape, np.nan)
         repo.save_data(data, ep_id, ep_id)
+        # Deterministic online-data visibility: re-list now, not on a clock.
+        dataset.reload_files()
         return float(data["reward"].sum())
 
     state = model.init_state(conf.batch_size * conf.iwae_samples)
@@ -222,12 +233,10 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
     collected = []
     # 4x4 grid, TL 16: the untrained policy collects ~0.0 +- 0.05/ep (goal
     # by luck, -0.01/step otherwise; sigma of an 80-episode mean ~0.025).
-    # Learning SPEED varies with wall-clock conditions (the online data
-    # mix depends on reload timing) — validation runs cleared the gates at
-    # ~1400-2400 steps — so the gate is adaptive-horizon: pass as soon as
-    # the rolling 80-episode mean clears (improvement >= +0.08 over the
-    # first 80 AND clearly positive), fail only if it never does by 4000
-    # gradient steps.
+    # Gate: pass as soon as the rolling 80-episode mean clears
+    # (improvement >= +0.08 over the first 80 AND clearly positive). The
+    # deterministic trajectory clears at a fixed step; 4000 is the
+    # regression ceiling, not the expected cost.
     early = None
     passed = False
     for i in range(1, 4001):
@@ -236,7 +245,7 @@ def test_policy_return_improves_on_gridworld_pixels(tmp_path):
             params, opt_state, batch, state, i, rng)
         if i % 6 == 0:
             collected.append(collect_online(params, 10_000 + i))
-        if i >= 1400 and i % 200 == 0:
+        if i >= 1000 and i % 100 == 0:
             early = float(np.mean(collected[:80]))
             late = float(np.mean(collected[-80:]))
             if late > early + 0.08 and late > 0.05:
