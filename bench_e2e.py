@@ -111,6 +111,28 @@ def main():
     print(f"# populated {n_data} steps of noise episodes in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Tunnel-bandwidth stamps: the remote-TPU tunnel's bandwidth varies
+    # several-fold day to day (58 -> 13.7 MB/s observed across r2/r3), so
+    # every phase's ceiling is only interpretable against a probe taken
+    # INSIDE that phase's time window (VERDICT r3 weak #3). One probe
+    # array, device_put + forced materialization, median of 3.
+    probe_arr = np.random.RandomState(7).randint(
+        0, 255, (48, 32, 64, 64, 3), np.uint8)  # 18.9 MB, the flagship batch
+
+    bw_stamps = {}
+
+    def stamp_bandwidth(label: str) -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = jax.device_put(probe_arr)
+            np.asarray(dev.ravel()[-1:])  # forced materialization
+            times.append(time.perf_counter() - t0)
+        mbps = probe_arr.nbytes / 1e6 / float(np.median(times))
+        bw_stamps[label] = round(mbps, 1)
+        print(f"# bandwidth[{label}] = {mbps:.1f} MB/s", file=sys.stderr)
+        return mbps
+
     # --- 0. constant-batch reference (same as bench.py) -------------------
     batch = _make_batch(conf)
     n_warm, n_meas = (5, 20) if quick else (10, 50)
@@ -150,7 +172,9 @@ def main():
         return n / (time.perf_counter() - t0)
 
     timed_pipeline_steps(n_warm, 100)     # warm the stream + caches
+    stamp_bandwidth("pipeline_before")
     sps_pipe = timed_pipeline_steps(n_meas, 200)
+    stamp_bandwidth("pipeline_after")
 
     # --- 1b. stage-by-stage host breakdown --------------------------------
     # Each stage timed with the rest of the pipeline idle; see PERF.md for
@@ -179,12 +203,35 @@ def main():
     put_ms = float(np.median(put_ms))
     device_step_ms = 1e3 / sps_const
 
+    # Split-transfer probe: two device_put streams from two host threads
+    # (batch halved along B). If the tunnel serializes one stream below
+    # line rate, splitting raises the transfer ceiling the breakdown
+    # exposes (VERDICT r3 #4 bonus).
+    import concurrent.futures as cf
+    halves = [{k: np.ascontiguousarray(v[:, : v.shape[1] // 2])
+               for k, v in raw_batch.items()},
+              {k: np.ascontiguousarray(v[:, v.shape[1] // 2:])
+               for k, v in raw_batch.items()}]
+    split_ms = []
+    with cf.ThreadPoolExecutor(2) as pool:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            futs = [pool.submit(jax.device_put, h) for h in halves]
+            devs = [f.result() for f in futs]
+            for dvs in devs:
+                for v in dvs.values():
+                    np.asarray(v.ravel()[-1:])
+            split_ms.append((time.perf_counter() - t0) * 1e3)
+    split_ms = float(np.median(split_ms))
+
     host_breakdown = {
         "host_stream_ms_per_batch": round(host_ms, 1),
         "host_stream_batches_per_sec": round(1e3 / host_ms, 2),
         "device_put_ms_per_batch": round(put_ms, 1),
         "device_put_MB_per_batch": round(batch_mb, 1),
         "tunnel_bandwidth_MB_per_sec": round(batch_mb / (put_ms / 1e3), 1),
+        "device_put_split2_ms_per_batch": round(split_ms, 1),
+        "split2_bandwidth_MB_per_sec": round(batch_mb / (split_ms / 1e3), 1),
         "device_step_ms": round(device_step_ms, 1),
     }
 
@@ -219,26 +266,38 @@ def main():
         solo[label] = (gen_steps // 2) / (time.perf_counter() - t0)
     agent_sps_solo = solo["agent_steps_per_sec_solo"]
 
-    # 2b. generator concurrent with the stepping learner (the real topology).
-    proc = ctx.Process(target=run_generator,
-                       args=(run_dir, str(Path(tmp) / "gen_episodes"),
-                             gen_conf, gen_steps), daemon=True)
-    t_gen0 = time.perf_counter()
-    proc.start()
-    # Learner keeps stepping while the generator runs (the real contention).
-    learner_steps = 0
-    while proc.is_alive():
-        b, _wid, _stats = next(data_iter)
-        params, opt_state, state, m, *_ = step_fn(
-            params, opt_state, b, state, np.int32(learner_steps), rng)
-        learner_steps += 1
-        if learner_steps % 20 == 0:
-            float(m["loss_model"])
-    proc.join()
-    t_gen = time.perf_counter() - t_gen0
-    agent_sps = gen_steps / t_gen
-    sps_concurrent = learner_steps / t_gen
+    # 2b. generator concurrent with the stepping learner (the real topology),
+    # measured for BOTH the 1-env and the vectorized 4-env generator — the
+    # vec4 configuration is what live runs use (config `vectorenv` preset /
+    # demo scripts), so its contended rate is the headline one
+    # (VERDICT r3 weak #4).
+    def contended_phase(n_envs: int, steps: int):
+        nonlocal params, opt_state, state
+        stamp_bandwidth(f"contended_vec{n_envs}_before")
+        proc = ctx.Process(
+            target=run_generator,
+            args=(run_dir, str(Path(tmp) / f"gen_episodes_vec{n_envs}"),
+                  gen_conf, steps, n_envs), daemon=True)
+        t_gen0 = time.perf_counter()
+        proc.start()
+        learner_steps = 0
+        m = None
+        while proc.is_alive():
+            b, _wid, _stats = next(data_iter)
+            params, opt_state, state, m, *_ = step_fn(
+                params, opt_state, b, state, np.int32(learner_steps), rng)
+            learner_steps += 1
+            if learner_steps % 20 == 0:
+                float(m["loss_model"])
+        proc.join()
+        t_gen = time.perf_counter() - t_gen0
+        stamp_bandwidth(f"contended_vec{n_envs}_after")
+        return steps / t_gen, learner_steps / t_gen
+
+    agent_sps, sps_concurrent = contended_phase(1, gen_steps)
+    agent_sps_vec4, sps_concurrent_vec4 = contended_phase(4, gen_steps * 2)
     train_every = agent_sps / max(sps_concurrent, 1e-9)
+    train_every_vec4 = agent_sps_vec4 / max(sps_concurrent_vec4, 1e-9)
 
     print(json.dumps({
         "metric": "grad_steps_per_sec_pipeline",
@@ -249,16 +308,22 @@ def main():
             "grad_steps_per_sec_const_batch": round(sps_const, 3),
             "grad_steps_per_sec_with_generator": round(sps_concurrent, 3),
             "agent_steps_per_sec": round(agent_sps, 2),
+            "agent_steps_per_sec_vec4_contended": round(agent_sps_vec4, 2),
+            "grad_steps_per_sec_with_vec4_generator": round(
+                sps_concurrent_vec4, 3),
             "agent_steps_per_sec_solo": round(agent_sps_solo, 2),
             "agent_steps_per_sec_solo_vec4": round(
                 solo["agent_steps_per_sec_solo_vec4"], 2),
-            "agent_steps_vs_t4": round(agent_sps / REF_AGENT_STEPS, 2),
+            "agent_steps_vs_t4": round(agent_sps_vec4 / REF_AGENT_STEPS, 2),
             "train_every": round(train_every, 2),
+            "train_every_vec4": round(train_every_vec4, 2),
         },
         "host_breakdown": host_breakdown,
+        "bandwidth_stamps_MB_per_sec": bw_stamps,
         "note": ("agent/concurrent numbers include generator spawn+jit in "
                  "the timed window; treat grad_steps_per_sec_with_generator "
-                 "as an upper bound (see BENCH_E2E.json provenance)"),
+                 "as an upper bound; bandwidth_stamps give each phase's "
+                 "in-window tunnel bandwidth (see BENCH_E2E.json provenance)"),
     }))
 
 
