@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
+from ..ops.subpixel import conv_transpose_s2_fused, conv_transpose_s2_subpixel
 from .distributions import (Bernoulli, CategoricalSupport, DiagNormal, Normal,
                             support_to_categorical)
 from .functions import flatten_batch, unflatten_batch, insert_dim, logavgexp, nanmean
@@ -36,6 +39,57 @@ __all__ = [
 ]
 
 
+class _ConvTransposeS2(nn.Module):
+    """Stride-2 VALID transposed conv with a selectable lowering.
+
+    Param tree ("kernel" HWIO + "bias") and init match nn.ConvTranspose
+    exactly, so checkpoints are interchangeable between impls:
+      * 'xla'      — lax.conv_transpose (input-dilated conv)
+      * 'subpixel' — exact parity-phase regrouping into dense convs
+                     (ops/subpixel.py); on TPU the dilated lowering ran the
+                     decoder at ~29% of peak with deconv0 at 6%
+                     (scripts/bench_conv.py r4), the subpixel form avoids
+                     convolving 75%-zeros activations.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    impl: str = "auto"   # auto | xla | subpixel | fused
+    dtype: Any = jnp.float32
+
+    def _resolve(self, h_in: int) -> str:
+        if self.impl != "auto":
+            return self.impl
+        if jax.devices()[0].platform != "tpu":
+            return "xla"
+        # Chip-measured per-layer policy (scripts/bench_conv.py r4):
+        #   * 1x1 input: the op IS a GEMM — subpixel always wins (2.7 ->
+        #     1.7 ms fwd+bwd on deconv0)
+        #   * elsewhere 'fused' runs the 4 parity phases as ONE dense conv
+        #     with 4x output channels + depth-to-space — no dilated conv,
+        #     no per-phase lane padding.
+        return "subpixel" if h_in == 1 else "fused"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", xavier_uniform,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        impl = self._resolve(int(x.shape[1]))
+        if impl == "subpixel":
+            y = conv_transpose_s2_subpixel(x, kernel.astype(self.dtype))
+        elif impl == "fused":
+            y = conv_transpose_s2_fused(x, kernel.astype(self.dtype))
+        else:
+            y = lax.conv_transpose(
+                x, kernel.astype(self.dtype), strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class ConvDecoder(nn.Module):
     """Dense(32d) -> reshape (1,1,32d) -> 4x ConvTranspose (k 5,5,6,6, s2)."""
 
@@ -44,6 +98,9 @@ class ConvDecoder(nn.Module):
     cnn_depth: int = 32
     mlp_layers: int = 0
     layer_norm: bool = True
+    # 'auto' | 'xla' | 'subpixel' | 'fused', or a comma-list per layer
+    # (e.g. 'subpixel,xla,fused,xla') — identical math either way.
+    transpose_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,12 +118,12 @@ class ConvDecoder(nn.Module):
         x = x.reshape(x.shape[0], 1, 1, d * 32)
         kernels = (5, 5, 6, 6)
         depths = (d * 4, d * 2, d, self.out_channels)
+        impls = self.transpose_impl.split(",")
+        if len(impls) == 1:
+            impls = impls * len(kernels)
         for i, (k, depth) in enumerate(zip(kernels, depths)):
-            x = nn.ConvTranspose(depth, (k, k), strides=(2, 2), padding="VALID",
-                                 dtype=self.dtype, param_dtype=jnp.float32,
-                                 kernel_init=xavier_uniform,
-                                 bias_init=nn.initializers.zeros,
-                                 name=f"deconv_{i}")(x)
+            x = _ConvTransposeS2(depth, (k, k), impl=impls[i].strip(),
+                                 dtype=self.dtype, name=f"deconv_{i}")(x)
             if i < 3:
                 x = nn.elu(x)
         x = x.astype(jnp.float32)
@@ -242,13 +299,16 @@ class MultiDecoder(nn.Module):
     vecobs_weight: float = 1.0
     reward_weight: float = 1.0
     terminal_weight: float = 1.0
+    transpose_impl: str = "auto"
     layer_norm: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         if self.image_decoder == "cnn":
             self.image = ConvDecoder(self.features_dim, self.image_channels,
-                                     self.cnn_depth, dtype=self.dtype)
+                                     self.cnn_depth,
+                                     transpose_impl=self.transpose_impl,
+                                     dtype=self.dtype)
         elif self.image_decoder == "dense":
             self.image = CatImageDecoder(
                 self.features_dim,

@@ -108,6 +108,7 @@ class WorldModel:
             image_channels=conf.image_channels, cnn_depth=conf.cnn_depth,
             image_encoder_layers=conf.image_encoder_layers,
             vecobs_size=conf.vecobs_size, reward_input=conf.reward_input,
+            conv_impl=conf.get("conv_impl", "auto"),
             layer_norm=conf.layer_norm, dtype=self.dtype)
 
         self.decoder = MultiDecoder(
@@ -122,6 +123,7 @@ class WorldModel:
             vecobs_size=conf.vecobs_size,
             image_weight=conf.image_weight, vecobs_weight=conf.vecobs_weight,
             reward_weight=conf.reward_weight, terminal_weight=conf.terminal_weight,
+            transpose_impl=conf.get("conv_transpose_impl", "auto"),
             layer_norm=conf.layer_norm, dtype=self.dtype)
 
         self.core = RSSMCore(

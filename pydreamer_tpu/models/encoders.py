@@ -17,16 +17,60 @@ images on device.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
+from ..ops.subpixel import conv_s2_space_to_depth
 from .functions import flatten_batch, unflatten_batch
 from .modules import Dense, Norm, MLP, xavier_uniform
 
 __all__ = ["MultiEncoder", "ConvEncoder", "DenseEncoder"]
+
+
+class _ConvS2(nn.Module):
+    """Stride-2 VALID conv with a selectable lowering; param tree ("kernel"
+    HWIO + "bias") and init match nn.Conv, so checkpoints interchange.
+
+    'auto' uses the space-to-depth regrouping (ops/subpixel.py) on TPU for
+    the thin RGB stem (Cin < 8, even spatial dims): per-tap contraction
+    grows Cin -> 4*Cin instead of padding 3 -> 8 sublanes per tap.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    impl: str = "auto"   # auto | xla | s2d
+    dtype: Any = jnp.float32
+
+    def _use_s2d(self, h: int, w: int, cin: int) -> bool:
+        k = self.kernel_size[0]
+        eligible = k % 2 == 0 and h % 2 == 0 and w % 2 == 0
+        if self.impl != "auto":
+            return self.impl == "s2d" and eligible
+        return (eligible and cin < 8
+                and jax.devices()[0].platform == "tpu")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", xavier_uniform,
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        if self._use_s2d(int(x.shape[1]), int(x.shape[2]), int(cin)):
+            y = conv_s2_space_to_depth(x, kernel.astype(self.dtype))
+        else:
+            dn = lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), window_strides=(2, 2),
+                padding="VALID", dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
 
 
 class ConvEncoder(nn.Module):
@@ -37,6 +81,7 @@ class ConvEncoder(nn.Module):
 
     in_channels: int = 3
     cnn_depth: int = 32
+    conv_impl: str = "auto"   # auto | xla | s2d (identical math)
     dtype: Any = jnp.float32
 
     @property
@@ -50,10 +95,8 @@ class ConvEncoder(nn.Module):
         x = x.astype(self.dtype)
         d = self.cnn_depth
         for i, depth in enumerate((d, d * 2, d * 4, d * 8)):
-            x = nn.Conv(depth, (4, 4), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=xavier_uniform,
-                        bias_init=nn.initializers.zeros, name=f"conv_{i}")(x)
+            x = _ConvS2(depth, (4, 4), impl=self.conv_impl,
+                        dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.elu(x)
         x = x.reshape(x.shape[0], -1)
         return unflatten_batch(x, bd)
@@ -101,6 +144,7 @@ class MultiEncoder(nn.Module):
     image_encoder_layers: int
     vecobs_size: int
     reward_input: bool
+    conv_impl: str = "auto"
     layer_norm: bool = True
     dtype: Any = jnp.float32
 
@@ -133,7 +177,8 @@ class MultiEncoder(nn.Module):
                 image = jnp.concatenate(
                     [image, plane(obs["reward"]), plane(obs["terminal"])], -1)
             if self.image_encoder == "cnn":
-                enc = ConvEncoder(self.encoder_channels, self.cnn_depth, dtype=self.dtype)
+                enc = ConvEncoder(self.encoder_channels, self.cnn_depth,
+                                  conv_impl=self.conv_impl, dtype=self.dtype)
             elif self.image_encoder == "dense":
                 enc = DenseEncoder(
                     in_dim=self.image_size * self.image_size * self.encoder_channels,

@@ -149,6 +149,68 @@ def test_probe_map():
     assert 0.0 <= float(metrics["acc_map"]) <= 1.0
 
 
+def test_conv_decoder_subpixel_same_math():
+    """The subpixel ConvTranspose lowering (ops/subpixel.py) is a pure perf
+    knob: identical params tree and outputs/grads vs the XLA lowering."""
+    import jax.numpy as jnp
+    from pydreamer_tpu.models.decoders import ConvDecoder
+
+    F, M, d, C = 24, 6, 4, 3
+    feat = jnp.asarray(np.random.RandomState(0).rand(M, F), jnp.float32)
+    dec_x = ConvDecoder(in_dim=F, out_channels=C, cnn_depth=d,
+                        transpose_impl="xla")
+    params = dec_x.init(jax.random.PRNGKey(0), feat)
+    y_x = dec_x.apply(params, feat)
+    assert y_x.shape == (M, 64, 64, C)
+    g_x = jax.grad(lambda p: jnp.sum(jnp.square(dec_x.apply(p, feat))))(params)
+    for impl in ("subpixel", "fused"):
+        dec_s = ConvDecoder(in_dim=F, out_channels=C, cnn_depth=d,
+                            transpose_impl=impl)
+        # same param tree => checkpoints interchangeable
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(
+                dec_s.init(jax.random.PRNGKey(0), feat))
+        y_s = dec_s.apply(params, feat)
+        np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_s),
+                                   rtol=1e-5, atol=1e-5)
+        g_s = jax.grad(
+            lambda p: jnp.sum(jnp.square(dec_s.apply(p, feat))))(params)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_x),
+                jax.tree_util.tree_leaves_with_path(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{impl} {ka}")
+
+
+def test_conv_encoder_s2d_same_math():
+    """Space-to-depth first-conv lowering (ops/subpixel.py) is a pure perf
+    knob: identical param tree, outputs, and grads vs the plain conv."""
+    import jax.numpy as jnp
+    from pydreamer_tpu.models.encoders import ConvEncoder
+
+    M, C, d = 4, 3, 4
+    img = jnp.asarray(np.random.RandomState(0).rand(M, 64, 64, C) - 0.5,
+                      jnp.float32)
+    enc_x = ConvEncoder(C, d, conv_impl="xla")
+    enc_s = ConvEncoder(C, d, conv_impl="s2d")
+    params = enc_x.init(jax.random.PRNGKey(0), img)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(enc_s.init(jax.random.PRNGKey(0), img))
+    y_x = enc_x.apply(params, img)
+    y_s = enc_s.apply(params, img)
+    assert y_x.shape == (M, 32 * d)
+    np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-5)
+    g_x = jax.grad(lambda p: jnp.sum(jnp.square(enc_x.apply(p, img))))(params)
+    g_s = jax.grad(lambda p: jnp.sum(jnp.square(enc_s.apply(p, img))))(params)
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(ka))
+
+
 def test_scan_unroll_same_math(setup):
     """scan_unroll is a pure perf knob: identical losses for unroll 1 vs 4."""
     conf, model, params, obs, state = setup
