@@ -60,15 +60,14 @@ class _ConvTransposeS2(nn.Module):
     def _resolve(self, h_in: int) -> str:
         if self.impl != "auto":
             return self.impl
-        if jax.devices()[0].platform != "tpu":
-            return "xla"
-        # Chip-measured per-layer policy (scripts/bench_conv.py r4):
-        #   * 1x1 input: the op IS a GEMM — subpixel always wins (2.7 ->
-        #     1.7 ms fwd+bwd on deconv0)
-        #   * elsewhere 'fused' runs the 4 parity phases as ONE dense conv
-        #     with 4x output channels + depth-to-space — no dilated conv,
-        #     no per-phase lane padding.
-        return "subpixel" if h_in == 1 else "fused"
+        # Chip-measured (scripts/bench_step_ab.py r4): although the
+        # alternative lowerings win ISOLATED per-layer microbenches, inside
+        # the fused train step XLA's own dilated-conv lowering led every
+        # interleaved A/B (its conv grads fuse with surrounding ops; the
+        # regrouped forms add relayouts that break those fusions). 'auto'
+        # therefore stays on the XLA path; the alternates remain available
+        # per layer for other shapes/configs.
+        return "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -50,8 +50,10 @@ class _ConvS2(nn.Module):
         eligible = k % 2 == 0 and h % 2 == 0 and w % 2 == 0
         if self.impl != "auto":
             return self.impl == "s2d" and eligible
-        return (eligible and cin < 8
-                and jax.devices()[0].platform == "tpu")
+        # 'auto' = XLA: in the fused train step the plain lowering beat the
+        # s2d stem in interleaved A/Bs (scripts/bench_step_ab.py r4) — XLA
+        # already pads/tiles the thin stem well once fused with prepare_obs.
+        return False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
