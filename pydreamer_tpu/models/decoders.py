@@ -60,14 +60,16 @@ class _ConvTransposeS2(nn.Module):
     def _resolve(self, h_in: int) -> str:
         if self.impl != "auto":
             return self.impl
-        # Chip-measured (scripts/bench_step_ab.py r4): although the
-        # alternative lowerings win ISOLATED per-layer microbenches, inside
-        # the fused train step XLA's own dilated-conv lowering led every
-        # interleaved A/B (its conv grads fuse with surrounding ops; the
-        # regrouped forms add relayouts that break those fusions). 'auto'
-        # therefore stays on the XLA path; the alternates remain available
-        # per layer for other shapes/configs.
-        return "xla"
+        if jax.devices()[0].platform != "tpu":
+            return "xla"
+        # Chip-measured, interleaved in-step A/B (scripts/bench_step_ab.py
+        # r4): lowering the 1x1-input stem layer as a GEMM is worth +5.9%
+        # end-to-end (38.1 vs 36.0 grad-steps/s, consistent across all
+        # interleaved windows); every other regrouping LOSES in the fused
+        # step even though it wins isolated microbenches — XLA fuses the
+        # dilated-conv grads with surrounding ops, and the multi-op forms
+        # break those fusions. So: GEMM for the 1x1 stem, XLA elsewhere.
+        return "subpixel" if h_in == 1 else "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
