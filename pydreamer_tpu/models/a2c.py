@@ -28,7 +28,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .distributions import OneHotCategorical, normal_tanh, tanh_normal
+from .distributions import (OneHotCategorical, normal_tanh, tanh_normal,
+                            trunc_normal)
 from .modules import MLP
 
 __all__ = ["ActorCritic", "gae_advantage"]
@@ -170,6 +171,8 @@ class ActorCritic:
             return normal_tanh(y)
         if self.actor_dist == "tanh_normal":
             return tanh_normal(y)
+        if self.actor_dist == "trunc_normal":
+            return trunc_normal(y)
         raise ValueError(f"unknown actor_dist {self.actor_dist!r}")
 
     def forward_value(self, critic_params, features: jax.Array) -> jax.Array:

@@ -23,9 +23,9 @@ import jax.numpy as jnp
 
 __all__ = [
     "OneHotCategorical", "DiagNormal", "Bernoulli", "Normal",
-    "CategoricalSupport", "TanhNormal",
-    "diag_normal", "normal_tanh", "tanh_normal", "zdistr_kl",
-    "support_to_categorical",
+    "CategoricalSupport", "TanhNormal", "TruncNormal",
+    "diag_normal", "normal_tanh", "tanh_normal", "trunc_normal",
+    "zdistr_kl", "support_to_categorical",
 ]
 
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
@@ -340,6 +340,89 @@ def tanh_normal(x: jax.Array) -> TanhNormal:
     mean = 5.0 * jnp.tanh(mean / 5.0)
     std = jax.nn.softplus(std) + 0.1
     return TanhNormal(mean, std)
+
+
+@jax.tree_util.register_pytree_node_class
+class TruncNormal:
+    """Normal truncated to [-1, 1] per dimension (DreamerV2's DMC policy).
+
+    Added after the r4 dmc_swingup collapse (results/README.md): the
+    reference's ``tanh_normal`` head has an UNBOUNDED softplus std whose
+    base-normal entropy feeds the entropy bonus, so once tanh saturates
+    the dynamics gradient vanishes and nothing opposes std growth —
+    actor-std runaway, bang-bang policy, collapse. The reference never
+    trains that path (its dynamics mode detaches dreams, PARITY.md §2.10);
+    DreamerV2 proper uses THIS head on dm_control: mean = tanh(m),
+    std = 2*sigmoid(s/2) + min_std (bounded), truncated support — entropy
+    is bounded and the pathwise gradient never saturates.
+
+    Exact truncated-normal sample (inverse-CDF, pathwise-differentiable
+    via the traced bounds), log_prob, entropy, and mean.
+    """
+
+    LO, HI = -1.0, 1.0
+
+    def __init__(self, mean: jax.Array, std: jax.Array):
+        self.loc = _f32(mean)
+        self.scale = _f32(std)
+
+    def _bounds(self):
+        a = (self.LO - self.loc) / self.scale
+        b = (self.HI - self.loc) / self.scale
+        return a, b
+
+    def _logz(self):
+        from jax.scipy.special import log_ndtr
+        a, b = self._bounds()
+        # log(ndtr(b) - ndtr(a)), stable: logsumexp-style difference
+        lb, la = log_ndtr(b), log_ndtr(a)
+        return lb + jnp.log1p(-jnp.exp(la - lb))
+
+    def sample(self, key: jax.Array) -> jax.Array:
+        a, b = self._bounds()
+        eps = jax.random.truncated_normal(key, a, b, shape=self.loc.shape)
+        return jnp.clip(self.loc + self.scale * eps, self.LO, self.HI)
+
+    rsample = sample
+
+    @property
+    def mean(self) -> jax.Array:
+        a, b = self._bounds()
+        phi = lambda t: jnp.exp(-0.5 * t * t - _HALF_LOG_2PI)
+        z = jnp.exp(self._logz())
+        return self.loc + self.scale * (phi(a) - phi(b)) / z
+
+    def log_prob(self, y: jax.Array) -> jax.Array:
+        lp = -0.5 * jnp.square((_f32(y) - self.loc) / self.scale) \
+            - jnp.log(self.scale) - _HALF_LOG_2PI - self._logz()
+        return jnp.sum(lp, axis=-1)
+
+    def entropy(self) -> jax.Array:
+        a, b = self._bounds()
+        phi = lambda t: jnp.exp(-0.5 * t * t - _HALF_LOG_2PI)
+        logz = self._logz()
+        z = jnp.exp(logz)
+        # H = log(sqrt(2*pi*e)*sigma*Z) + (a*phi(a) - b*phi(b)) / (2Z),
+        # with the a/b*phi terms -> 0 as bounds -> inf.
+        h = _HALF_LOG_2PI + 0.5 + jnp.log(self.scale) + logz \
+            + (a * phi(a) - b * phi(b)) / (2.0 * z)
+        return jnp.sum(h, axis=-1)
+
+    def tree_flatten(self):
+        return (self.loc, self.scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.loc, obj.scale = children
+        return obj
+
+
+def trunc_normal(x: jax.Array, min_std: float = 0.1) -> TruncNormal:
+    """DreamerV2 dmc head: TruncNormal(tanh(m), 2*sigmoid(s/2)+min_std)."""
+    mean, std = jnp.split(_f32(x), 2, axis=-1)
+    return TruncNormal(jnp.tanh(mean),
+                       2.0 * jax.nn.sigmoid(std / 2.0) + min_std)
 
 
 def zdistr_kl(post, prior) -> jax.Array:

@@ -40,6 +40,7 @@ while [ "$cur" -lt "$TARGET_STEPS" ]; do
     --save_interval 200 --log_interval 100 --eval_interval 0 \
     --logbatch_interval 3000 \
     --generator_envs_per_worker 4 \
-    --data_workers 2 --limit_step_ratio 64 --max_rss_gb 70 || true
+    --data_workers 2 --limit_step_ratio 64 --max_rss_gb 70 \
+    ${EXTRA_FLAGS:-} || true
 done
 echo "=== dmc demo done at $cur steps ==="

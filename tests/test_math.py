@@ -141,3 +141,44 @@ class TestStructure:
     def test_global_norm(self):
         tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
         np.testing.assert_allclose(float(F.global_norm(tree)), 5.0)
+
+
+class TestTruncNormal:
+    """trunc_normal — DreamerV2's DMC policy head, added after the r4
+    swingup collapse (actor-std runaway through tanh_normal's unbounded
+    softplus std; see results/README.md). The head's defining properties:
+    bounded support, bounded std => bounded entropy, exact closed forms."""
+
+    def test_matches_scipy(self):
+        st = pytest.importorskip("scipy.stats")
+        for m, sd in [(0.5, 0.3), (-0.9, 1.5), (0.0, 0.1)]:
+            a, b = (-1 - m) / sd, (1 - m) / sd
+            rv = st.truncnorm(a, b, loc=m, scale=sd)
+            d = D.TruncNormal(jnp.array([m]), jnp.array([sd]))
+            np.testing.assert_allclose(float(d.entropy()), rv.entropy(),
+                                       atol=1e-4)
+            np.testing.assert_allclose(float(d.mean[0]), rv.mean(), atol=1e-4)
+            np.testing.assert_allclose(float(d.log_prob(jnp.array([0.3]))),
+                                       rv.logpdf(0.3), atol=1e-4)
+
+    def test_sample_bounded_and_differentiable(self):
+        d = D.TruncNormal(jnp.array([0.5, -0.9]), jnp.array([0.3, 1.5]))
+        ks = jax.random.split(jax.random.PRNGKey(0), 5000)
+        s = jax.vmap(d.sample)(ks)
+        assert float(s.min()) >= -1.0 and float(s.max()) <= 1.0
+
+        def f(params):
+            return jnp.sum(D.trunc_normal(params).sample(jax.random.PRNGKey(1)))
+        g = jax.grad(f)(jnp.array([0.2, -0.1, 0.5, 0.3]))
+        assert np.abs(np.asarray(g)).sum() > 0  # pathwise grads flow
+
+    def test_entropy_bounded_unlike_tanh_normal(self):
+        """The collapse mechanism: tanh_normal's entropy grows without
+        bound in the std parameter (entropy bonus rewards runaway std);
+        trunc_normal's is capped by the sigmoid std ceiling."""
+        raw = jnp.array([0.0, 100.0])  # huge raw std parameter
+        h_trunc = float(D.trunc_normal(raw).entropy())
+        h_tanh = float(D.tanh_normal(raw).entropy())
+        # cap: std <= 2.1 => per-dim H <= log(2.1) + 0.5*log(2*pi*e)
+        assert h_trunc <= np.log(2.1) + 0.5 * np.log(2 * np.pi * np.e) + 1e-5
+        assert h_tanh > h_trunc + 1.0  # unbounded parameterization
