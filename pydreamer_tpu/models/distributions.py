@@ -379,9 +379,18 @@ class TruncNormal:
         return lb + jnp.log1p(-jnp.exp(la - lb))
 
     def sample(self, key: jax.Array) -> jax.Array:
+        # Truncated noise drawn with STOPPED bounds: the exact pathwise
+        # gradient through the truncation (implicit diff of ndtri/ndtr)
+        # contains pdf ratios phi(a)/phi(x) that explode for tail draws —
+        # one such draw among the M*H*A dream samples NaN'd the whole
+        # params tree in the r4 swingup run. With sg(bounds) the gradient
+        # flows through loc + scale*eps only (|d/dscale| = |eps| <= 20),
+        # the standard truncated-reparameterization approximation.
+        sg = jax.lax.stop_gradient
         a, b = self._bounds()
-        eps = jax.random.truncated_normal(key, a, b, shape=self.loc.shape)
-        return jnp.clip(self.loc + self.scale * eps, self.LO, self.HI)
+        eps = jax.random.truncated_normal(key, sg(a), sg(b),
+                                          shape=self.loc.shape)
+        return jnp.clip(self.loc + self.scale * sg(eps), self.LO, self.HI)
 
     rsample = sample
 

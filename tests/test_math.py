@@ -182,3 +182,18 @@ class TestTruncNormal:
         # cap: std <= 2.1 => per-dim H <= log(2.1) + 0.5*log(2*pi*e)
         assert h_trunc <= np.log(2.1) + 0.5 * np.log(2 * np.pi * np.e) + 1e-5
         assert h_tanh > h_trunc + 1.0  # unbounded parameterization
+
+    def test_sample_gradients_bounded(self):
+        """Regression for the r4 NaN collapse: the exact pathwise gradient
+        through the truncation bounds explodes on tail draws (pdf ratio
+        phi(a)/phi(x)); the sg-bounds reparameterization keeps |grad|
+        bounded by the noise magnitude for EVERY draw."""
+        def f(params, key):
+            return jnp.sum(D.trunc_normal(params).sample(key))
+        g = jax.jit(jax.grad(f))
+        params = jnp.array([5.0, -5.0, 0.0, 3.0,   # extreme means
+                            -10.0, 10.0, 0.0, -10.0])  # extreme raw stds
+        for i in range(50):
+            gi = np.asarray(g(params, jax.random.PRNGKey(i)))
+            assert np.isfinite(gi).all(), (i, gi)
+            assert np.abs(gi).max() < 25.0, (i, gi)
