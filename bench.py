@@ -5,15 +5,28 @@ on the flagship Atari configuration (T=48, B=32, deter=1024 — the reference's
 committed defaults+atari config) and reports steps/sec against the
 reference's published 1.4 grad-steps/sec on a T4 (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+provenance extras ("provenance": in-window tunnel-bandwidth stamps and
+/proc/loadavg around each timed window) so a given number can be told
+apart from "the same code on a contended box / slow-tunnel day"
+(VERDICT r4 weak #2; the bench_e2e.py stamp pattern).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_STEPS_PER_SEC = 1.4  # reference on NVIDIA T4 (BASELINE.md)
+
+
+def _loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # non-Linux host
+        return -1.0
 
 
 def main():
@@ -37,6 +50,21 @@ def main():
 
     step_fn = trainstep.jitted(False, False)
 
+    # Provenance stamps (bench_e2e.py pattern): tunnel bandwidth via a
+    # device_put of the flagship-batch-sized probe (median of 3, forced
+    # materialization) + 1-min loadavg, taken around each timed window.
+    probe_arr = np.random.RandomState(7).randint(
+        0, 255, (48, 32, 64, 64, 3), np.uint8)  # 18.9 MB
+
+    def stamp_bandwidth():
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = jax.device_put(probe_arr)
+            np.asarray(dev.ravel()[-1:])  # forced materialization
+            times.append(time.perf_counter() - t0)
+        return round(probe_arr.nbytes / 1e6 / float(np.median(times)), 1)
+
     def run_window(n, i0):
         """n pipelined steps, closed by a host fetch of the final loss
         (float() forces a full device sync — block_until_ready on remote
@@ -52,9 +80,17 @@ def main():
 
     # Warmup: compile + shake out any re-fetch of the executable.
     run_window(10, 0)
-    # Two timed windows; report the steady-state (best) one.
+    # Two timed windows; report the steady-state (best) one. Each window
+    # is bracketed by in-window provenance stamps.
+    stamps = {"load_before": _loadavg(), "bw_before_MBps": stamp_bandwidth()}
     sps1, loss = run_window(50, 10)
+    stamps["load_mid"] = _loadavg()
+    stamps["bw_mid_MBps"] = stamp_bandwidth()
     sps2, loss = run_window(50, 60)
+    stamps["load_after"] = _loadavg()
+    stamps["bw_after_MBps"] = stamp_bandwidth()
+    stamps["windows_steps_per_sec"] = [round(sps1, 3), round(sps2, 3)]
+    print(f"# provenance: {stamps}", file=sys.stderr)
     steps_per_sec = max(sps1, sps2)
     assert np.isfinite(loss), f"non-finite loss {loss}"
     print(json.dumps({
@@ -62,6 +98,7 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "provenance": stamps,
     }))
 
 

@@ -122,10 +122,14 @@ def main(env_id: str = "Grid-8",
             # arrays and crash the data workers.
             pv, pe, ap = (list(metrics[k]) for k in
                           ("policy_value", "policy_entropy", "action_prob"))
-            pad = [np.nan] * max(0, epsteps - len(pv))
-            data["policy_value"] = np.array(pad + pv + [np.nan])
-            data["policy_entropy"] = np.array(pad + pe + [np.nan])
-            data["action_prob"] = np.array([np.nan] + pad + ap)
+            # Pad per column (advisor r4): if the metric lists ever
+            # diverge in length, a shared pad would silently misalign the
+            # npz columns instead of keeping each one epsteps+1 long.
+            def pad_for(col):
+                return [np.nan] * max(0, epsteps - len(col))
+            data["policy_value"] = np.array(pad_for(pv) + pv + [np.nan])
+            data["policy_entropy"] = np.array(pad_for(pe) + pe + [np.nan])
+            data["action_prob"] = np.array([np.nan] + pad_for(ap) + ap)
         else:
             # Placeholders so all batches share the same key set.
             for k in ("policy_value", "policy_entropy", "action_prob"):

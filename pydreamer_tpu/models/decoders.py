@@ -39,6 +39,26 @@ __all__ = [
 ]
 
 
+def _active_platform() -> str:
+    """Platform governing the 'auto' lowering choice.
+
+    A CPU-forced process (`conf.platform: cpu` -> jax.config.update
+    "jax_platforms" in the trainer/launcher) must resolve the CPU
+    heuristic even on images that force-register a TPU plugin whose
+    backends were touched before the config update (advisor r4,
+    decoders.py:63) — so the config knob wins when it names cpu first.
+    Otherwise trust jax.default_backend(): plugin platforms can appear
+    in the knob under an alias (e.g. 'axon,cpu' on this image) while
+    their devices correctly report platform 'tpu'."""
+    try:
+        first = (jax.config.jax_platforms or "").split(",")[0]
+    except AttributeError:
+        first = ""
+    if first == "cpu":
+        return "cpu"
+    return jax.default_backend()
+
+
 class _ConvTransposeS2(nn.Module):
     """Stride-2 VALID transposed conv with a selectable lowering.
 
@@ -60,7 +80,7 @@ class _ConvTransposeS2(nn.Module):
     def _resolve(self, h_in: int) -> str:
         if self.impl != "auto":
             return self.impl
-        if jax.devices()[0].platform != "tpu":
+        if _active_platform() != "tpu":
             return "xla"
         # Chip-measured, interleaved in-step A/B (scripts/bench_step_ab.py
         # r4): lowering the 1x1-input stem layer as a GEMM is worth +5.9%

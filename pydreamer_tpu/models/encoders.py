@@ -35,9 +35,12 @@ class _ConvS2(nn.Module):
     """Stride-2 VALID conv with a selectable lowering; param tree ("kernel"
     HWIO + "bias") and init match nn.Conv, so checkpoints interchange.
 
-    'auto' uses the space-to-depth regrouping (ops/subpixel.py) on TPU for
-    the thin RGB stem (Cin < 8, even spatial dims): per-tap contraction
-    grows Cin -> 4*Cin instead of padding 3 -> 8 sublanes per tap.
+    'auto' resolves to the plain XLA lowering: the space-to-depth
+    regrouping (ops/subpixel.py, impl='s2d') won its microbench but LOST
+    the fused-train-step interleaved A/B (scripts/bench_step_ab.py, PERF.md
+    r4) — XLA already pads/tiles the thin RGB stem well once fused with
+    prepare_obs. 's2d' stays selectable for re-measurement on other
+    hardware; math is identical either way.
     """
 
     features: int
@@ -49,6 +52,15 @@ class _ConvS2(nn.Module):
         k = self.kernel_size[0]
         eligible = k % 2 == 0 and h % 2 == 0 and w % 2 == 0
         if self.impl != "auto":
+            if self.impl == "s2d" and not eligible:
+                # Explicit request that can't be honored: warn (at trace
+                # time) so an A/B of lowerings can't silently compare
+                # xla-vs-xla. Silent fallback is reserved for 'auto'.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "impl='s2d' requested but shape (k=%d, h=%d, w=%d) is "
+                    "ineligible (needs even kernel and spatial dims); "
+                    "falling back to the XLA lowering", k, h, w)
             return self.impl == "s2d" and eligible
         # 'auto' = XLA: in the fused train step the plain lowering beat the
         # s2d stem in interleaved A/Bs (scripts/bench_step_ab.py r4) — XLA
