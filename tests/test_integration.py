@@ -181,8 +181,20 @@ def test_vectorized_policy_switch_pads_metric_columns(tiny_conf, tmp_path,
     in-flight slots accumulate policy metrics only from the switch tick on.
     finish_episode must pad the head with NaN so every npz column matches
     the reward length — ragged columns crash the data workers downstream
-    (ADVICE r3 high)."""
+    (ADVICE r3 high).
+
+    The mid-episode switch is constructed, not hoped for (VERDICT r4 weak
+    #3: the random-walk version was order/RNG-flaky in-suite): the three
+    lockstep slots get fixed-length CountingEnv episodes of 12/30/44
+    steps, so slot 0's first finish (tick 12) flushes >= steps_per_npz=10
+    saved steps, the switch fires at tick 13, and slots 1 and 2 are
+    provably mid-flight — their first episodes MUST be head-padded."""
     import jax
+    import pydreamer_tpu.envs as envs_mod
+    from pydreamer_tpu.envs import CountingEnv
+    from pydreamer_tpu.envs.wrappers import (ActionRewardResetWrapper,
+                                             CollectWrapper, DictWrapper,
+                                             OneHotActionWrapper)
     from pydreamer_tpu.models.dreamer import Dreamer
     from pydreamer_tpu.tracking import save_checkpoint_file
 
@@ -194,35 +206,55 @@ def test_vectorized_policy_switch_pads_metric_columns(tiny_conf, tmp_path,
     ckpt.parent.mkdir(parents=True)
     save_checkpoint_file(ckpt, {"params": params}, 5000)
 
+    lengths = iter([12, 30, 44])
+
+    def fixed_len_env(env_id, no_terminal, time_limit, action_repeat,
+                      worker_id):
+        env = DictWrapper(CountingEnv(episode_length=next(lengths),
+                                      action_dim=tiny_conf.action_dim,
+                                      seed=worker_id))
+        env = OneHotActionWrapper(env)
+        env = ActionRewardResetWrapper(env, no_terminal)
+        return CollectWrapper(env)
+
+    # Both the base env and the vectorized siblings resolve create_env
+    # from pydreamer_tpu.envs at call time (generator.py).
+    monkeypatch.setattr(envs_mod, "create_env", fixed_len_env)
+
     save_dir = tmp_path / "episodes"
-    # time_limit 50 on Grid-4 => random-walk episodes end at scattered ticks,
-    # so the first finished episode flips the policy while siblings are
-    # mid-flight.
-    gen.main(env_id="Grid-4x64", save_uri=str(save_dir), worker_id=0,
+    gen.main(env_id="Counting-ignored", save_uri=str(save_dir), worker_id=0,
              policy_main="network", policy_prefill="random",
-             num_steps=150, num_steps_prefill=10,
-             env_time_limit=50, steps_per_npz=10,
+             num_steps=100, num_steps_prefill=10,
+             env_time_limit=0, steps_per_npz=10,
              envs_per_worker=3, model_conf=tiny_conf,
              model_reload_interval=1e9, log_metrics=False)
 
     repo = NpzEpisodeRepository(save_dir)
     files = repo.list_files()
     assert files
-    saw_padded = False
-    for f in files:
+    resets, pvs = [], []
+    for f in sorted(files, key=lambda f: f.path):
         data = f.load_data()
         n = len(data["reset"])
         image_keys = {"image_t"}  # stored transposed (H,W,C,T)
         for k, v in data.items():
             length = v.shape[-1] if k in image_keys else len(v)
             assert length == n, (f, k, v.shape, n)
-        # Per-episode audit: a padded slot shows NaN head + real tail.
-        starts = list(np.flatnonzero(data["reset"])) + [n]
-        for a, b in zip(starts[:-1], starts[1:]):
-            pv = data["policy_value"][a:b]
-            if np.isnan(pv[0]) and np.isfinite(pv).any():
-                saw_padded = True
-    assert saw_padded, "no mid-episode switch occurred; test is vacuous"
+        resets.append(data["reset"])
+        pvs.append(data["policy_value"])
+    # Chunking may split an episode across files (only the first chunk
+    # carries its reset row), so the per-episode audit runs on the
+    # filename-ordered concatenation: a padded episode shows NaN head +
+    # real tail within one reset-to-reset span.
+    reset, pv_all = np.concatenate(resets), np.concatenate(pvs)
+    starts = list(np.flatnonzero(reset)) + [len(reset)]
+    n_padded = 0
+    for a, b in zip(starts[:-1], starts[1:]):
+        pv = pv_all[a:b]
+        if np.isnan(pv[0]) and np.isfinite(pv).any():
+            n_padded += 1
+    # Slots 1 (len 30) and 2 (len 44) are mid-flight at the tick-13 switch.
+    assert n_padded >= 2, f"expected 2 padded episodes by construction, got {n_padded}"
 
 
 def test_vector_network_policy_batched_inference():
