@@ -53,23 +53,40 @@ def export_csv(run_dir: Union[str, Path], out_path: Union[str, Path],
 
 def learning_curve(run_dir: Union[str, Path], metric: str = "agent/return",
                    x_metric: str = "_step"):
-    """-> (steps, values) arrays for one metric."""
+    """-> (steps, values) arrays for one metric.
+
+    x_metric other than '_step' (e.g. 'train/data_env_steps' for an
+    env-step axis comparable to published baselines): the x value is
+    interpolated over the rows that carry it, since agent- and
+    train-metric flushes land on different rows."""
     rows = load_metrics(run_dir)
     xs, ys = [], []
     for r in rows:
         if metric in r:
-            xs.append(r.get(x_metric, 0))
+            xs.append(r.get("_step", 0))
             ys.append(r[metric])
-    return np.asarray(xs), np.asarray(ys)
+    xs, ys = np.asarray(xs, np.float64), np.asarray(ys)
+    if x_metric != "_step" and len(xs):
+        bx = [(r.get("_step", 0), r[x_metric]) for r in rows if x_metric in r]
+        if bx:
+            bs, bv = map(np.asarray, zip(*bx))
+            xs = np.interp(xs, bs.astype(np.float64), bv.astype(np.float64))
+    return xs, ys
 
 
 def plot_curves(run_dirs: Sequence[Union[str, Path]], metric: str,
                 out_path: Union[str, Path], baseline_csv: Optional[str] = None,
-                smooth: int = 1):
+                smooth: int = 1, x_metric: str = "_step",
+                baseline_env: Optional[str] = None,
+                baseline_label: str = "baseline"):
     """Learning curves for N runs (+ optional baseline CSV) -> PNG.
 
     The baseline CSV follows the reference's committed format: columns
-    ``env_steps, return`` (results/baselines/atari-dreamerv2.csv).
+    ``env, method, run, env_steps, return``
+    (results/baselines/atari-dreamerv2.csv); ``baseline_env`` filters to
+    one task when the CSV holds several. Pass
+    ``x_metric='train/data_env_steps'`` to put the runs on the same
+    env-step axis as the baseline.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -77,7 +94,7 @@ def plot_curves(run_dirs: Sequence[Union[str, Path]], metric: str,
 
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for rd in run_dirs:
-        xs, ys = learning_curve(rd, metric)
+        xs, ys = learning_curve(rd, metric, x_metric=x_metric)
         if len(ys) == 0:
             continue
         if smooth > 1 and len(ys) >= smooth:
@@ -89,10 +106,12 @@ def plot_curves(run_dirs: Sequence[Union[str, Path]], metric: str,
         bx, by = [], []
         with open(baseline_csv) as f:
             for row in _csv.DictReader(f):
+                if baseline_env and row.get("env") not in (None, baseline_env):
+                    continue
                 bx.append(float(row.get("env_steps", row.get("step", 0))))
                 by.append(float(row.get("return", row.get("value", 0))))
-        ax.plot(bx, by, "k--", label="baseline", alpha=0.6)
-    ax.set_xlabel("step")
+        ax.plot(bx, by, "k--", label=baseline_label, alpha=0.6)
+    ax.set_xlabel("env steps" if x_metric != "_step" else "step")
     ax.set_ylabel(metric)
     ax.legend()
     ax.grid(alpha=0.3)

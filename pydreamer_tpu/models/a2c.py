@@ -38,11 +38,30 @@ sg = jax.lax.stop_gradient
 
 
 def gae_advantage(advantage: jax.Array, terminal1: jax.Array,
-                  gamma: float, lambda_: float) -> jax.Array:
+                  gamma: float, lambda_: float, impl: str = "scan") -> jax.Array:
     """Generalized advantage estimation via reversed scan.
 
     advantage_gae[t] = adv[t] + (gamma*lambda)*(1-terminal1[t])*advantage_gae[t+1]
+
+    impl (identical math, perf knob — PERF.md r5):
+      * 'scan'     — lax.scan(reverse=True, unroll=H). Even fully
+                     unrolled, the scan lowering materializes a runtime
+                     `reverse` of the stacked inputs/outputs (~0.4 ms/step
+                     in the r4 per-op audit).
+      * 'unrolled' — hand-unrolled Python loop over the static H; the
+                     reversal is pure trace-time operand ordering, no
+                     runtime reverse op.
     """
+    if impl == "unrolled":
+        h = advantage.shape[0]
+        agae_next = jnp.zeros_like(advantage[-1])
+        out = [None] * h
+        for t in range(h - 1, -1, -1):
+            agae_next = (advantage[t]
+                         + lambda_ * gamma * (1.0 - terminal1[t]) * agae_next)
+            out[t] = agae_next
+        return jnp.stack(out)
+
     def step(agae_next, x):
         adv, term = x
         agae = adv + lambda_ * gamma * (1.0 - term) * agae_next
@@ -70,7 +89,8 @@ class ActorCritic:
                  lambda_gae: float = 0.95, entropy_weight: float = 1e-3,
                  target_interval: int = 100, actor_grad: str = "reinforce",
                  actor_dist: str = "onehot",
-                 critic_features_grad: bool = False, dtype=jnp.float32):
+                 critic_features_grad: bool = False, dtype=jnp.float32,
+                 gae_impl: str = "scan"):
         self.in_dim = in_dim
         self.out_actions = out_actions
         self.gamma = gamma
@@ -79,6 +99,7 @@ class ActorCritic:
         self.target_interval = target_interval
         self.actor_grad = actor_grad
         self.actor_dist = actor_dist
+        self.gae_impl = gae_impl
         # Let the critic MSE backprop into the input features. False for the
         # imagination AC (loss_critic must touch only the critic subtree);
         # True for the auxiliary critic, whose purpose is shaping world-model
@@ -131,7 +152,8 @@ class ActorCritic:
         value0t = value_t[:-1]
         value1t = value_t[1:]
         advantage = -value0t + reward1 + self.gamma * (1.0 - terminal1) * value1t
-        advantage_gae = gae_advantage(advantage, terminal1, self.gamma, self.lambda_)
+        advantage_gae = gae_advantage(advantage, terminal1, self.gamma,
+                                      self.lambda_, impl=self.gae_impl)
         value_target = advantage_gae + value0t
 
         # reality_weight[i] = prod_{j<=i} (1-terminal[j]) — masks imagination

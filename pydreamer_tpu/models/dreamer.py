@@ -145,7 +145,7 @@ class WorldModel:
                 target_interval=conf.target_interval_aux,
                 actor_grad=conf.actor_grad, actor_dist=conf.actor_dist,
                 critic_features_grad=True,  # aux loss shapes the WM features
-                dtype=self.dtype)
+                dtype=self.dtype, gae_impl=conf.get("gae_impl", "scan"))
         else:
             self.ac_aux = None
 
@@ -282,7 +282,8 @@ class Dreamer:
             layer_norm=conf.layer_norm, gamma=conf.gamma,
             lambda_gae=conf.lambda_gae, entropy_weight=conf.entropy,
             target_interval=conf.target_interval, actor_grad=conf.actor_grad,
-            actor_dist=conf.actor_dist, dtype=self.dtype)
+            actor_dist=conf.actor_dist, dtype=self.dtype,
+            gae_impl=conf.get("gae_impl", "scan"))
         self.probe = make_probe(conf, self.features_dim, self.dtype)
 
     # -- params / state ---------------------------------------------------

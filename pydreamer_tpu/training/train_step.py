@@ -80,6 +80,13 @@ class TrainStep:
         self.conf = conf
         self.donate = donate  # donate params/opt_state buffers (in-place HBM
         #                       update); turn off if callers reuse inputs
+        # Also donate the TBTT in_state (h,z): out_state has identical
+        # shapes/dtypes, so XLA reuses the buffers and elides the state
+        # copies the r4 per-op audit attributed ~0.7 ms/step to
+        # (copy.463/480, PERF.md). Safe because every caller replaces its
+        # state reference with the returned out_state; requires callers
+        # never to pass a SHARED init_state buffer for two streams.
+        self.donate_state = bool(conf.get("donate_state", False))
         self.target_interval = conf.get("target_interval", 0)
         self.target_interval_aux = (conf.get("target_interval_aux", 0)
                                     if conf.get("aux_critic", False) else 0)
@@ -169,8 +176,10 @@ class TrainStep:
         if flags not in self._jit_cache:
             fn = partial(self._step, do_image_pred=do_image_pred,
                          do_dream_tensors=do_dream_tensors)
-            self._jit_cache[flags] = jax.jit(
-                fn, donate_argnums=(0, 1) if donate else ())
+            argnums = (0, 1) if donate else ()
+            if donate and self.donate_state:
+                argnums = (0, 1, 3)
+            self._jit_cache[flags] = jax.jit(fn, donate_argnums=argnums)
         return self._jit_cache[flags]
 
     def __call__(self, params, opt_state, obs, in_state, step, key,

@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Interleaved A/B of two conv-lowering policies on the flagship step.
+"""Interleaved A/B of two train-step configurations on the flagship step.
 
 Both programs stay resident and alternate 50-step windows (A B A B ...),
 so slow drift in background load cancels out of the comparison — the
 sequential sweep (bench_step_impl.py) conflates policy effects with
 whatever the concurrent training run was doing during its window.
 
+Spec: ``conv:deconv[:key=val,key=val...]`` — the optional third segment
+overrides arbitrary Conf keys (values parsed as python literals when
+possible), so non-conv knobs A/B with the same tool:
+
     python scripts/bench_step_ab.py --a xla:xla --b s2d:subpixel,xla,subpixel,xla
+    python scripts/bench_step_ab.py --a auto:auto --b auto:auto:gae_impl=unrolled
+    python scripts/bench_step_ab.py --a auto:auto --b auto:auto:donate_state=True
 """
 
 import argparse
@@ -20,7 +26,9 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def build(conv, deconv):
+def build(conv, deconv, overrides=None):
+    import ast
+
     import jax
     from __graft_entry__ import _make_batch, _make_conf
     from pydreamer_tpu.models.dreamer import Dreamer
@@ -28,6 +36,15 @@ def build(conv, deconv):
 
     conf = _make_conf(tiny=False).replace(conv_impl=conv,
                                           conv_transpose_impl=deconv)
+    for kv in (overrides or "").split(","):
+        if not kv:
+            continue
+        k, v = kv.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass  # keep as string (e.g. gae_impl=unrolled)
+        conf = conf.replace(**{k: v})
     model = Dreamer(conf)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     trainstep = TrainStep(model, conf)
@@ -63,8 +80,9 @@ def main():
 
     wins = {}
     for label, spec in (("a", args.a), ("b", args.b)):
-        conv, deconv = spec.split(":", 1)
-        wins[label] = build(conv, deconv)
+        parts = spec.split(":", 2)
+        conv, deconv = parts[0], parts[1]
+        wins[label] = build(conv, deconv, parts[2] if len(parts) > 2 else "")
         wins[label](10, 0)  # compile + warm
     rates = {"a": [], "b": []}
     for r in range(args.rounds):

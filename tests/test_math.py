@@ -113,6 +113,16 @@ class TestGAE:
         want = np.stack(out[::-1])
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_unrolled_impl_matches_scan(self):
+        """gae_impl='unrolled' (trace-time reversal, no runtime reverse op
+        — PERF.md r5) is the same math as the scan lowering."""
+        rng = np.random.RandomState(1)
+        adv = jnp.asarray(rng.randn(15, 8).astype(np.float32))
+        term = jnp.asarray((rng.rand(15, 8) < 0.15).astype(np.float32))
+        a = gae_advantage(adv, term, 0.99, 0.95, impl="scan")
+        b = gae_advantage(adv, term, 0.99, 0.95, impl="unrolled")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_lambda_zero_reduces_to_onestep(self):
         adv = jnp.asarray(np.random.randn(4, 3).astype(np.float32))
         term = jnp.zeros((4, 3))

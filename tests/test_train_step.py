@@ -100,3 +100,34 @@ def test_generator_chunking():
     # order preserved
     np.testing.assert_array_equal(
         np.concatenate([c["reward"] for c in chunks]), data["reward"])
+
+
+def test_donate_state_steps_run_and_match():
+    """donate_state=True (TBTT in_state buffers donated, PERF.md r5): the
+    jitted step still returns the same numbers as the undonated step, and
+    consecutive steps can chain the returned state."""
+    conf = make_conf(deter_dim=32, stoch_dim=4, stoch_discrete=4, hidden_dim=32,
+                     cnn_depth=4, batch_length=4, batch_size=2, imag_horizon=2,
+                     reward_decoder_layers=1, terminal_decoder_layers=1,
+                     donate_state=True)
+    model = Dreamer(conf)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(conf).items()}
+    rng = jax.random.PRNGKey(1)
+
+    def run(donate):
+        c = conf.replace(donate_state=donate)
+        ts = TrainStep(model, c, donate=donate)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        opt = ts.init_optimizer(p)
+        state = model.init_state(conf.batch_size)
+        losses = []
+        for i in range(2):
+            p, opt, state, metrics, *_ = ts(p, opt, batch, state, i, rng)
+            losses.append(float(metrics["loss_model"]))
+        return losses
+
+    plain = run(False)
+    donated = run(True)
+    assert np.isfinite(donated).all()
+    np.testing.assert_allclose(donated, plain, rtol=1e-5)
