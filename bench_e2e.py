@@ -296,6 +296,10 @@ def main():
 
     agent_sps, sps_concurrent = contended_phase(1, gen_steps)
     agent_sps_vec4, sps_concurrent_vec4 = contended_phase(4, gen_steps * 2)
+    # vec8: does doubling envs-per-worker buy contended agent rate on this
+    # 2-vCPU host, or just oversubscribe it? (VERDICT r4 weak #7 — one-line
+    # config win if 8 beats 4; defaults updated only on a win.)
+    agent_sps_vec8, sps_concurrent_vec8 = contended_phase(8, gen_steps * 2)
     train_every = agent_sps / max(sps_concurrent, 1e-9)
     train_every_vec4 = agent_sps_vec4 / max(sps_concurrent_vec4, 1e-9)
 
@@ -309,8 +313,11 @@ def main():
             "grad_steps_per_sec_with_generator": round(sps_concurrent, 3),
             "agent_steps_per_sec": round(agent_sps, 2),
             "agent_steps_per_sec_vec4_contended": round(agent_sps_vec4, 2),
+            "agent_steps_per_sec_vec8_contended": round(agent_sps_vec8, 2),
             "grad_steps_per_sec_with_vec4_generator": round(
                 sps_concurrent_vec4, 3),
+            "grad_steps_per_sec_with_vec8_generator": round(
+                sps_concurrent_vec8, 3),
             "agent_steps_per_sec_solo": round(agent_sps_solo, 2),
             "agent_steps_per_sec_solo_vec4": round(
                 solo["agent_steps_per_sec_solo_vec4"], 2),
