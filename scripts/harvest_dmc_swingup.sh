@@ -4,8 +4,11 @@
 #   run 1 (runs/dmc_swingup,  tanh_normal): the collapse evidence (r4; its
 #     live run dir is gone — the committed CSV/PNG are the artifact now,
 #     so they are only re-exported if the dir reappears)
-#   run 2 (runs/dmc_swingup3, trunc_normal): the fixed run (restarted from
-#     scratch in r5 after the box reset wiped the r4 checkpoints)
+#   run 2 (trunc_normal, r5a): reached 10.8k before a mid-round box reset
+#     wiped its run dir — preserved statically as
+#     results/dmc_swingup/run2_trunc_normal_partial.csv (not re-exported)
+#   run 3 (runs/dmc_swingup3, trunc_normal, r5b): the headline evidence
+#     run, relaunched from scratch; exported to metrics.csv
 # CSVs with _step, return curves, overlays (incl. vs the published
 # DreamerV2 baseline), dream GIF.
 # Run AFTER the training run is stopped (or between segments); re-runnable.
@@ -33,9 +36,9 @@ if have_run1:
 else:
     print("run1 dir absent; keeping committed run1 artifacts")
 
-n2 = export_csv("runs/dmc_swingup3",
+n3 = export_csv("runs/dmc_swingup3",
                 "results/dmc_swingup/metrics.csv", keys)
-print("rows run2:", n2)
+print("rows run3:", n3)
 
 plot_curves(["runs/dmc_swingup3"], "agent/return_cum",
             "results/dmc_swingup/return_curve.png")
