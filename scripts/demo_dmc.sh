@@ -16,6 +16,7 @@ RUN_DIR="${1:-runs/dmc_cartpole}"
 TARGET_STEPS="${2:-20000}"
 SEGMENT="${3:-2500}"
 ENV_ID="${ENV_ID:-DMC-cartpole_balance}"   # e.g. ENV_ID=DMC-cartpole_swingup
+ACTION_DIM="${ACTION_DIM:-1}"              # e.g. ACTION_DIM=6 for cheetah_run
 
 cur=$(python - "$RUN_DIR" <<'PYEOF'
 import sys
@@ -31,7 +32,7 @@ while [ "$cur" -lt "$TARGET_STEPS" ]; do
   echo "=== segment to step $cur ==="
   timeout "${SEGMENT_TIMEOUT:-5400}" python -m pydreamer_tpu.launch \
     --configs defaults dmc \
-    --env_id "$ENV_ID" --action_dim 1 \
+    --env_id "$ENV_ID" --action_dim "$ACTION_DIM" \
     --run_dir "$RUN_DIR" \
     --n_steps "$cur" \
     --gamma 0.99 --batch_size 16 \
